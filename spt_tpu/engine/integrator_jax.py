@@ -1,0 +1,402 @@
+"""Pure-JAX wavefront integrators.
+
+This backend is the framework's *reference implementation*: readable,
+differentiable end-to-end, and the oracle that the Pallas megakernel must
+match bit-for-bit on RNG streams and statistically on radiance.
+
+Two integrators:
+
+* ``render_reference_sample`` — reproduces the C++ reference renderer's exact
+  semantics (SURVEY.md §2.3; CPUPathTracer.cpp:43-326): hard-coded pinhole +z
+  camera with no jitter, 1 spp per call, fixed 0.7 albedo, sky-gradient-only
+  lighting, max 4 bounces, Russian roulette after bounce 2, and the
+  bit-exact stateful hash RNG.  The per-pixel recursive CPU loop becomes a
+  masked SoA wavefront: every bounce intersects the *whole* ray batch via
+  MXU-shaped batched sphere tests, lanes deactivate on miss/termination.
+
+* ``render_megasample`` — the framework-native integrator: sub-pixel
+  jittered positionable camera, material table (Lambert / GGX metal /
+  dielectric), emissive-sphere area lights with next-event estimation and
+  MIS (power heuristic), honored max_bounces / RR depth, counter-based
+  stateless RNG (identical streams in any execution order or sharding).
+
+Everything is jit-compatible with static shapes; control flow is masks and
+``lax.scan`` — no data-dependent Python branching.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import intersect, rng, sampling
+from ..core.materials import DIELECTRIC, LAMBERT, METAL
+from ..core.scene import SKY_CONSTANT, SKY_GRADIENT, SceneData
+
+EPS_OFFSET = 1e-4  # the reference's surface offset (CPUPathTracer.cpp:277)
+
+# RNG dimension ids (per bounce) for the counter-based discipline.
+_NDIMS = 8
+_DIM_RR = 0
+_DIM_U1 = 1
+_DIM_U2 = 2
+_DIM_LSEL = 3
+_DIM_LU1 = 4
+_DIM_LU2 = 5
+_DIM_LOBE = 6
+# Camera dims live in a reserved "bounce" slot so they never collide.
+_CAM_SLOT_JX = 0
+_CAM_SLOT_JY = 1
+_CAM_SLOT_LU = 2
+_CAM_SLOT_LV = 3
+
+
+def sample_sky(d, scene: SceneData):
+    """Environment radiance for direction batch ``d``.
+
+    GRADIENT mode reproduces the reference's sample_sky
+    (CPUPathTracer.cpp:286-292): mix(horizon, zenith, 0.5*(dir.y+1)).
+    """
+    if scene.sky_mode == SKY_GRADIENT:
+        t = 0.5 * (d[..., 1:2] + 1.0)
+        horizon = scene.sky_params[0]
+        zenith = scene.sky_params[1]
+        return horizon * (1.0 - t) + zenith * t
+    if scene.sky_mode == SKY_CONSTANT:
+        return jnp.broadcast_to(scene.sky_params[0], d.shape)
+    return jnp.zeros_like(d)
+
+
+# ---------------------------------------------------------------------------
+# Reference-semantics integrator (parity mode).
+# ---------------------------------------------------------------------------
+
+
+def render_reference_sample(scene: SceneData, width: int, height: int, frame):
+    """One progressive sample with the reference's exact semantics.
+
+    Returns (H, W, 3) radiance for frame index ``frame`` (0-based; the
+    reference seeds with frame+1 — CPUPathTracer.cpp:61).  Adding successive
+    frames and dividing reproduces its progressive accumulation.
+    """
+    px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.uint32)[None, :], (height, width))
+    py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.uint32)[:, None], (height, width))
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+
+    state = rng.ref_seed(px, py, jnp.uint32(width), jnp.asarray(frame, jnp.uint32) + 1)
+
+    # Hard-coded camera (CPUPathTracer.cpp:62-73).
+    aspect = jnp.float32(width) / jnp.float32(height)
+    u = px.astype(jnp.float32) * (1.0 / jnp.float32(width))
+    v = 1.0 - py.astype(jnp.float32) * (1.0 / jnp.float32(height))
+    uv_x = (u * 2.0 - 1.0) * aspect
+    uv_y = v * 2.0 - 1.0
+    inv_len = 1.0 / jnp.sqrt(uv_x * uv_x + uv_y * uv_y + 1.0)
+    d = jnp.stack([uv_x * inv_len, uv_y * inv_len, inv_len], axis=-1)
+    o = jnp.zeros_like(d)
+
+    radiance = jnp.zeros_like(d)
+    throughput = jnp.ones_like(d)
+    active = jnp.ones(px.shape, bool)
+
+    # max_bounces = 4 hard-coded (CPUPathTracer.cpp:199); RR applies when the
+    # post-increment bounce count exceeds 2, i.e. loop iterations k >= 2.
+    for k in range(4):
+        t, hit_id = intersect.intersect_spheres(
+            o, d, scene.centers, scene.radii, scene.prim_valid)
+        hit = active & (hit_id >= 0)
+        miss = active & (hit_id < 0)
+
+        radiance = jnp.where(miss[:, None],
+                             radiance + throughput * sample_sky(d, scene),
+                             radiance)
+        active = hit
+
+        t_safe = jnp.where(hit, t, 1.0)[:, None]
+        p = o + t_safe * d
+        centers_hit = scene.centers[jnp.maximum(hit_id, 0)]
+        n = intersect.sphere_normal(p, centers_hit)
+
+        throughput = jnp.where(hit[:, None], throughput * 0.7, throughput)
+
+        if k >= 2:
+            new_state, u_rr = rng.ref_next(state)
+            state = jnp.where(hit, new_state, state)
+            p_cont = jnp.max(throughput, axis=-1)
+            survive = u_rr <= p_cont
+            active = active & survive
+            throughput = jnp.where(active[:, None],
+                                   throughput / jnp.maximum(p_cont, 1e-12)[:, None],
+                                   throughput)
+
+        new_state, u1 = rng.ref_next(state)
+        state = jnp.where(active, new_state, state)
+        new_state, u2 = rng.ref_next(state)
+        state = jnp.where(active, new_state, state)
+
+        d_new = sampling.cosine_hemisphere(n, u1, u2)
+        d = jnp.where(active[:, None], d_new, d)
+        o = jnp.where(active[:, None], p + EPS_OFFSET * n, o)
+
+    return radiance.reshape(height, width, 3)
+
+
+# ---------------------------------------------------------------------------
+# Framework-native integrator: materials, NEE, MIS, counter RNG.
+# ---------------------------------------------------------------------------
+
+
+def _u(pixel, sample, bounce, dim, seed):
+    return rng.counter_uniform(pixel, sample, bounce * jnp.uint32(_NDIMS) + jnp.uint32(dim), seed)
+
+
+def _camera_rays(camera, px, py, pixel_id, sample_id, width, height, seed,
+                 jitter: bool, dof: bool):
+    cam_slot = jnp.uint32(0xFFFF) * jnp.uint32(_NDIMS)
+    if jitter:
+        jx = rng.counter_uniform(pixel_id, sample_id, cam_slot + _CAM_SLOT_JX, seed)
+        jy = rng.counter_uniform(pixel_id, sample_id, cam_slot + _CAM_SLOT_JY, seed)
+    else:
+        jx = jnp.full(px.shape, 0.5, jnp.float32)
+        jy = jnp.full(px.shape, 0.5, jnp.float32)
+    if dof:
+        lu = rng.counter_uniform(pixel_id, sample_id, cam_slot + _CAM_SLOT_LU, seed)
+        lv = rng.counter_uniform(pixel_id, sample_id, cam_slot + _CAM_SLOT_LV, seed)
+        return camera.generate_rays(px, py, width, height, jx, jy, lu, lv)
+    return camera.generate_rays(px, py, width, height, jx, jy)
+
+
+def _shade_and_sample(scene: SceneData, p, n_g, wo, mat_id, u_lobe, u1, u2):
+    """Branchless material dispatch: sample a new direction + path weight.
+
+    Args:
+      p: hit points (N,3); n_g: geometric normals (N,3) (outward);
+      wo: direction *toward* the camera (= -ray dir); mat_id: (N,) i32.
+    Returns dict with new direction, throughput multiplier, solid-angle pdf of
+    the sampled direction (0 for delta lobes), specular flag, and the offset
+    sign for the next origin (+1 reflect side, -1 transmit side).
+    """
+    albedo, _, roughness, ior, mtype = scene.materials.gather(mat_id)
+    front = sampling.dot(wo, n_g)[..., 0] > 0.0
+    ns = jnp.where(front[:, None], n_g, -n_g)  # shading normal, same side as wo
+
+    # --- Lambert ---------------------------------------------------------
+    d_lam = sampling.cosine_hemisphere(ns, u1, u2)
+    w_lam = albedo
+    pdf_lam = sampling.cosine_hemisphere_pdf(ns, d_lam)
+
+    # --- GGX metal -------------------------------------------------------
+    h = sampling.ggx_sample_half(ns, roughness, u1, u2)
+    d_met = sampling.reflect(-wo, h)
+    ndotl = sampling.dot(ns, d_met)[..., 0]
+    ndotv = jnp.maximum(sampling.dot(ns, wo)[..., 0], 1e-6)
+    ndoth = jnp.maximum(sampling.dot(ns, h)[..., 0], 1e-6)
+    odoth = jnp.maximum(sampling.dot(wo, h)[..., 0], 1e-6)
+    f_met = sampling.schlick_fresnel(odoth[:, None], albedo)
+    g_met = sampling.ggx_smith_g(ns, wo, d_met, roughness)
+    valid_met = ndotl > 1e-6
+    w_met = jnp.where(valid_met[:, None],
+                      f_met * (g_met * odoth / (ndotv * ndoth))[:, None],
+                      0.0)
+    pdf_met = sampling.ggx_pdf(ns, wo, d_met, roughness)
+
+    # --- Dielectric (smooth) --------------------------------------------
+    eta = jnp.where(front, 1.0 / jnp.maximum(ior, 1.001), jnp.maximum(ior, 1.001))
+    cos_i = jnp.maximum(sampling.dot(wo, ns)[..., 0], 1e-6)
+    f_die = sampling.fresnel_dielectric(cos_i, 1.0 / eta)
+    d_refl = sampling.reflect(-wo, ns)
+    d_refr, tir = sampling.refract(-wo, ns, eta[:, None])
+    choose_refl = (u_lobe < f_die) | tir
+    d_die = jnp.where(choose_refl[:, None], d_refl, sampling.normalize(d_refr))
+    # Energy-preserving: weight 1 on reflect, tint on refract.
+    w_die = jnp.where(choose_refl[:, None], jnp.ones_like(albedo), albedo)
+
+    is_lam = (mtype == LAMBERT)[:, None]
+    is_met = (mtype == METAL)[:, None]
+    is_die = (mtype == DIELECTRIC)[:, None]
+
+    d_new = jnp.where(is_lam, d_lam, jnp.where(is_met, d_met, d_die))
+    weight = jnp.where(is_lam, w_lam, jnp.where(is_met, w_met, w_die))
+    pdf = jnp.where(is_lam[..., 0], pdf_lam, jnp.where(is_met[..., 0], pdf_met, 0.0))
+    specular = is_die[..., 0]
+    # Transmit side offset: refraction crosses the surface.
+    transmit = is_die[..., 0] & ~choose_refl
+    offset_sign = jnp.where(transmit, -1.0, 1.0)
+    dead = is_met[..., 0] & ~valid_met
+    return dict(d=d_new, weight=weight, pdf=pdf, specular=specular,
+                offset_sign=offset_sign, ns=ns, dead=dead)
+
+
+def _eval_bsdf(scene: SceneData, ns, wo, wi, mat_id):
+    """Evaluate f(wo, wi)·cos(wi) and the BSDF sample pdf for MIS / NEE.
+
+    Delta lobes (dielectric) evaluate to zero — NEE never connects them.
+    """
+    albedo, _, roughness, _, mtype = scene.materials.gather(mat_id)
+    ndotl = jnp.maximum(sampling.dot(ns, wi)[..., 0], 0.0)
+    # Lambert
+    f_lam = albedo * sampling.INV_PI
+    pdf_lam = ndotl * sampling.INV_PI
+    # GGX metal
+    h = sampling.normalize(wo + wi)
+    dterm = sampling.ggx_ndf(ns, h, roughness)
+    gterm = sampling.ggx_smith_g(ns, wo, wi, roughness)
+    odoth = jnp.maximum(sampling.dot(wo, h)[..., 0], 1e-6)
+    ndotv = jnp.maximum(sampling.dot(ns, wo)[..., 0], 1e-6)
+    fterm = sampling.schlick_fresnel(odoth[:, None], albedo)
+    f_met = fterm * (dterm * gterm / (4.0 * ndotv * jnp.maximum(ndotl, 1e-6)))[:, None]
+    pdf_met = sampling.ggx_pdf(ns, wo, wi, roughness)
+
+    is_lam = (mtype == LAMBERT)[:, None]
+    is_met = (mtype == METAL)[:, None]
+    f = jnp.where(is_lam, f_lam, jnp.where(is_met, f_met, 0.0))
+    pdf = jnp.where(is_lam[..., 0], pdf_lam,
+                    jnp.where(is_met[..., 0], pdf_met, 0.0))
+    fcos = f * ndotl[:, None]
+    return fcos, pdf
+
+
+def render_megasample(scene: SceneData, camera, width: int, height: int,
+                      sample_ids, *, max_bounces: int = 8,
+                      rr_depth: int = 3, use_nee: bool = True,
+                      use_mis: bool = True, seed: int = 0,
+                      jitter: bool = True, dof: bool = False):
+    """Trace ``len(sample_ids)`` full samples per pixel; return summed radiance.
+
+    sample_ids: (S,) int array of global sample indices (progressive chunks
+    pass disjoint ranges; RNG streams depend only on the ids, so any chunking
+    yields identical results).  Output: (H, W, 3) radiance *sum* over S.
+    """
+    n_px = height * width
+    px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.uint32)[None, :], (height, width)).reshape(-1)
+    py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.uint32)[:, None], (height, width)).reshape(-1)
+    pixel_id = py * jnp.uint32(width) + px
+    seed_u = jnp.uint32(seed)
+    nl = max(scene.num_lights, 1)
+    has_lights = scene.num_lights > 0 and use_nee
+
+    def one_sample(carry_radiance, sample_id):
+        sid = jnp.asarray(sample_id, jnp.uint32)
+        sid_b = jnp.broadcast_to(sid, px.shape)
+        o, d = _camera_rays(camera, px, py, pixel_id, sid_b, width, height,
+                            seed_u, jitter, dof)
+        state = dict(
+            o=o, d=d,
+            throughput=jnp.ones_like(d),
+            radiance=jnp.zeros_like(d),
+            active=jnp.ones((n_px,), bool),
+            prev_pdf=jnp.zeros((n_px,), jnp.float32),
+            prev_specular=jnp.ones((n_px,), bool),  # camera vertex counts as delta
+        )
+
+        def bounce(state, k):
+            ku = jnp.asarray(k, jnp.uint32)
+            o, d = state["o"], state["d"]
+            throughput = state["throughput"]
+            radiance = state["radiance"]
+            active = state["active"]
+
+            t, hit_id = intersect.intersect_spheres(
+                o, d, scene.centers, scene.radii, scene.prim_valid)
+            hit = active & (hit_id >= 0)
+            miss = active & (hit_id < 0)
+
+            radiance = jnp.where(miss[:, None],
+                                 radiance + throughput * sample_sky(d, scene),
+                                 radiance)
+
+            hid = jnp.maximum(hit_id, 0)
+            t_safe = jnp.where(hit, t, 1.0)[:, None]
+            p = o + t_safe * d
+            c_hit = scene.centers[hid]
+            r_hit = scene.radii[hid]
+            mat_hit = scene.mat_id[hid]
+            n_g = intersect.sphere_normal(p, c_hit)
+            wo = -d
+
+            # Emitted radiance at the hit, MIS-weighted against NEE.
+            _, emission, _, _, _ = scene.materials.gather(mat_hit)
+            emitting = hit & (jnp.sum(emission, -1) > 0.0) \
+                & (sampling.dot(wo, n_g)[..., 0] > 0.0)
+            if has_lights and use_mis:
+                pdf_light_here = sampling.sphere_cone_pdf(o, c_hit, r_hit) / nl
+                w_bsdf = sampling.power_heuristic(state["prev_pdf"], pdf_light_here)
+                w_emit = jnp.where(state["prev_specular"], 1.0, w_bsdf)
+            elif has_lights:  # pure NEE: count emitters only via light sampling
+                w_emit = jnp.where(state["prev_specular"], 1.0, 0.0)
+            else:
+                w_emit = jnp.ones((n_px,), jnp.float32)
+            radiance = jnp.where(emitting[:, None],
+                                 radiance + throughput * emission * w_emit[:, None],
+                                 radiance)
+
+            # BSDF sampling.
+            u_lobe = _u(pixel_id, sid_b, ku, _DIM_LOBE, seed_u)
+            u1 = _u(pixel_id, sid_b, ku, _DIM_U1, seed_u)
+            u2 = _u(pixel_id, sid_b, ku, _DIM_U2, seed_u)
+            sh = _shade_and_sample(scene, p, n_g, wo, mat_hit, u_lobe, u1, u2)
+            ns = sh["ns"]
+
+            # Next-event estimation (skip delta lobes).
+            if has_lights:
+                ul_sel = _u(pixel_id, sid_b, ku, _DIM_LSEL, seed_u)
+                lu1 = _u(pixel_id, sid_b, ku, _DIM_LU1, seed_u)
+                lu2 = _u(pixel_id, sid_b, ku, _DIM_LU2, seed_u)
+                l_slot = jnp.minimum((ul_sel * nl).astype(jnp.int32), nl - 1)
+                l_prim = scene.light_idx[l_slot]
+                lc = scene.centers[l_prim]
+                lr = scene.radii[l_prim]
+                p_off = p + EPS_OFFSET * ns
+                ldir, pdf_l, inside_l = sampling.sample_sphere_cone(
+                    p_off, lc, lr, lu1, lu2)
+                pdf_l = pdf_l / nl
+                # Shadow test: the nearest hit along ldir must be the light.
+                ts, ids = intersect.intersect_spheres(
+                    p_off, ldir, scene.centers, scene.radii, scene.prim_valid)
+                lit = (ids == l_prim) & ~inside_l
+                fcos, pdf_b_at_l = _eval_bsdf(scene, ns, wo, ldir, mat_hit)
+                _, l_emission, _, _, _ = scene.materials.gather(scene.mat_id[l_prim])
+                w_nee = sampling.power_heuristic(pdf_l, pdf_b_at_l) if use_mis \
+                    else jnp.ones((n_px,), jnp.float32)
+                contrib = throughput * fcos * l_emission \
+                    * (w_nee / jnp.maximum(pdf_l, 1e-12))[:, None]
+                nee_ok = hit & lit & ~sh["specular"] & (pdf_l > 0.0)
+                radiance = jnp.where(nee_ok[:, None], radiance + contrib, radiance)
+
+            # Update path state.
+            throughput_new = throughput * sh["weight"]
+            active_new = hit & ~sh["dead"]
+
+            # Russian roulette (honoring settings, unlike the reference).
+            rr_on = k >= rr_depth
+            u_rr = _u(pixel_id, sid_b, ku, _DIM_RR, seed_u)
+            p_cont = jnp.clip(jnp.max(throughput_new, -1), 0.05, 0.95)
+            kill = rr_on & (u_rr > p_cont)
+            active_new = active_new & ~kill
+            rr_scale = jnp.where(rr_on, 1.0 / p_cont, 1.0)
+            throughput_new = throughput_new * rr_scale[:, None]
+
+            o_new = p + (EPS_OFFSET * sh["offset_sign"])[:, None] * ns
+            d_new = sh["d"]
+
+            out = dict(
+                o=jnp.where(active_new[:, None], o_new, o),
+                d=jnp.where(active_new[:, None], d_new, d),
+                throughput=jnp.where(active_new[:, None], throughput_new, throughput),
+                radiance=radiance,
+                active=active_new,
+                prev_pdf=jnp.where(active_new, sh["pdf"], state["prev_pdf"]),
+                prev_specular=jnp.where(active_new, sh["specular"],
+                                        state["prev_specular"]),
+            )
+            return out, None
+
+        state, _ = jax.lax.scan(bounce, state, jnp.arange(max_bounces))
+        return carry_radiance + state["radiance"], None
+
+    radiance0 = jnp.zeros((n_px, 3), jnp.float32)
+    radiance, _ = jax.lax.scan(one_sample, radiance0, jnp.asarray(sample_ids))
+    return radiance.reshape(height, width, 3)
