@@ -1,0 +1,300 @@
+"""Flattened, array-indexed BVH over sphere primitives.
+
+The TPU-native replacement for Embree's opaque pointer BVH (the reference
+builds one implicitly via ``rtcCommitScene`` — CPUPathTracer.cpp:328-404 —
+and traverses with ``rtcIntersect1`` :227).  Design:
+
+* **Host build** (this module + native/bvh_builder.cpp): binned-SAH (native
+  C++, loaded via ctypes) with a pure-numpy median-split fallback.  Both
+  emit the same *flattened preorder* layout, so traversal code is builder-
+  agnostic.
+
+* **Layout** — depth-first preorder with skip links, the stackless form
+  that vectorizes: for node ``i``, the first child is always ``i+1``;
+  ``skip[i]`` is where to go when the node's AABB is missed (or after a
+  leaf) — the preorder successor of the subtree.  Rays traverse with a
+  single per-ray node pointer, no stack, which keeps the SoA wavefront in
+  lockstep: every iteration all rays do one AABB slab test + (masked) leaf
+  primitive tests and advance.
+
+* **Device traversal** (``intersect_bvh``): a ``lax.while_loop`` that runs
+  until every lane's pointer reaches the end sentinel.  Leaf primitive
+  tests are a static unroll over ``max_leaf`` slots (masked), so shapes
+  stay static for XLA.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_LEAF = 4  # primitives per leaf (static unroll width in traversal)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["node_min", "node_max", "node_skip", "node_first",
+                 "node_count", "prim_idx"],
+    meta_fields=["n_nodes", "max_leaf"],
+)
+@dataclasses.dataclass(frozen=True)
+class BVH:
+    node_min: jax.Array    # (N, 3) f32 AABB lower corners
+    node_max: jax.Array    # (N, 3) f32 AABB upper corners
+    node_skip: jax.Array   # (N,) i32 preorder successor of the subtree
+    node_first: jax.Array  # (N,) i32 first prim slot (leaf) / unused (inner)
+    node_count: jax.Array  # (N,) i32 leaf prim count; 0 marks an inner node
+    prim_idx: jax.Array    # (P,) i32 primitive permutation (leaf-contiguous)
+    n_nodes: int
+    max_leaf: int
+
+
+# ---------------------------------------------------------------------------
+# Native builder (C++ binned SAH, ctypes).
+# ---------------------------------------------------------------------------
+
+_NATIVE_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                            "libbvh_builder.so")
+_native = None
+
+
+def _load_native():
+    global _native
+    if _native is not None:
+        return _native
+    path = os.path.abspath(_NATIVE_PATH)
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.spt_build_bvh.restype = ctypes.c_int
+    lib.spt_build_bvh.argtypes = [
+        ctypes.POINTER(ctypes.c_float),   # centers (n*3)
+        ctypes.POINTER(ctypes.c_float),   # radii (n)
+        ctypes.c_int,                     # n
+        ctypes.c_int,                     # max_leaf
+        ctypes.POINTER(ctypes.c_float),   # out node_min (2n*3)
+        ctypes.POINTER(ctypes.c_float),   # out node_max (2n*3)
+        ctypes.POINTER(ctypes.c_int),     # out node_skip (2n)
+        ctypes.POINTER(ctypes.c_int),     # out node_first (2n)
+        ctypes.POINTER(ctypes.c_int),     # out node_count (2n)
+        ctypes.POINTER(ctypes.c_int),     # out prim_idx (n)
+    ]
+    _native = lib
+    return lib
+
+
+def _build_native(centers: np.ndarray, radii: np.ndarray, max_leaf: int):
+    lib = _load_native()
+    if lib is None:
+        return None
+    n = len(radii)
+    cap = max(2 * n, 1)
+    node_min = np.empty((cap, 3), np.float32)
+    node_max = np.empty((cap, 3), np.float32)
+    node_skip = np.empty((cap,), np.int32)
+    node_first = np.empty((cap,), np.int32)
+    node_count = np.empty((cap,), np.int32)
+    prim_idx = np.empty((n,), np.int32)
+    centers = np.ascontiguousarray(centers, np.float32)
+    radii = np.ascontiguousarray(radii, np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    n_nodes = lib.spt_build_bvh(
+        centers.ctypes.data_as(fp), radii.ctypes.data_as(fp),
+        ctypes.c_int(n), ctypes.c_int(max_leaf),
+        node_min.ctypes.data_as(fp), node_max.ctypes.data_as(fp),
+        node_skip.ctypes.data_as(ip), node_first.ctypes.data_as(ip),
+        node_count.ctypes.data_as(ip), prim_idx.ctypes.data_as(ip))
+    if n_nodes <= 0:
+        return None
+    return (node_min[:n_nodes], node_max[:n_nodes], node_skip[:n_nodes],
+            node_first[:n_nodes], node_count[:n_nodes], prim_idx)
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy fallback builder (median split on the widest centroid axis).
+# ---------------------------------------------------------------------------
+
+
+def _build_numpy(centers: np.ndarray, radii: np.ndarray, max_leaf: int):
+    n = len(radii)
+    lo_all = centers - radii[:, None]
+    hi_all = centers + radii[:, None]
+
+    node_min, node_max = [], []
+    node_skip, node_first, node_count = [], [], []
+    prim_order: list[int] = []
+
+    def emit(idx: np.ndarray) -> int:
+        """Append the subtree over prims ``idx`` in preorder; return its root."""
+        me = len(node_min)
+        node_min.append(lo_all[idx].min(0))
+        node_max.append(hi_all[idx].max(0))
+        node_skip.append(-1)     # patched after children are emitted
+        node_first.append(0)
+        node_count.append(0)
+        if len(idx) <= max_leaf:
+            node_first[me] = len(prim_order)
+            node_count[me] = len(idx)
+            prim_order.extend(int(i) for i in idx)
+        else:
+            cen = centers[idx]
+            axis = int(np.argmax(cen.max(0) - cen.min(0)))
+            order = np.argsort(cen[:, axis], kind="stable")
+            half = len(idx) // 2
+            emit(idx[order[:half]])
+            emit(idx[order[half:]])
+        node_skip[me] = -2  # sentinel meaning "patch to my preorder successor"
+        return me
+
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(10000, 4 * n))
+    try:
+        emit(np.arange(n))
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    # Patch skip links: skip[i] = preorder index just past i's subtree.
+    n_nodes = len(node_min)
+    skip = np.empty(n_nodes, np.int32)
+    stack: list[int] = []
+
+    def subtree_end(i: int) -> int:
+        """End of subtree rooted at i (exclusive), via counts."""
+        # Iterative: walk preorder, track remaining leaves.
+        end = i + 1
+        if node_count[i] == 0:
+            end = subtree_end(end)        # left child
+            end = subtree_end(end)        # right child
+        return end
+
+    sys.setrecursionlimit(max(10000, 4 * n))
+    try:
+        for i in range(n_nodes):
+            skip[i] = subtree_end(i)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    return (np.asarray(node_min, np.float32), np.asarray(node_max, np.float32),
+            skip, np.asarray(node_first, np.int32),
+            np.asarray(node_count, np.int32), np.asarray(prim_order, np.int32))
+
+
+def build_bvh(centers, radii, valid=None, max_leaf: int = MAX_LEAF,
+              force_numpy: bool = False) -> BVH:
+    """Build a BVH over the valid spheres; returns device-ready arrays.
+
+    Invalid (padding) primitives are excluded from the tree, so traversal
+    never needs the validity mask.
+    """
+    centers = np.asarray(centers, np.float32)
+    radii = np.asarray(radii, np.float32)
+    if valid is not None:
+        keep = np.asarray(valid, bool)
+        live = np.nonzero(keep)[0].astype(np.int32)
+    else:
+        live = np.arange(len(radii), dtype=np.int32)
+    if len(live) == 0:
+        # Degenerate: a single empty leaf whose AABB can never be hit.
+        return BVH(
+            node_min=jnp.full((1, 3), np.inf, jnp.float32),
+            node_max=jnp.full((1, 3), -np.inf, jnp.float32),
+            node_skip=jnp.asarray([1], jnp.int32),
+            node_first=jnp.asarray([0], jnp.int32),
+            node_count=jnp.asarray([0], jnp.int32),
+            prim_idx=jnp.asarray([0], jnp.int32),
+            n_nodes=1, max_leaf=max_leaf)
+
+    c_live = centers[live]
+    r_live = radii[live]
+    built = None if force_numpy else _build_native(c_live, r_live, max_leaf)
+    if built is None:
+        built = _build_numpy(c_live, r_live, max_leaf)
+    nmin, nmax, skip, first, count, order = built
+    prim_idx = live[order]  # back to original primitive ids
+    return BVH(
+        node_min=jnp.asarray(nmin), node_max=jnp.asarray(nmax),
+        node_skip=jnp.asarray(skip), node_first=jnp.asarray(first),
+        node_count=jnp.asarray(count), prim_idx=jnp.asarray(prim_idx),
+        n_nodes=int(len(skip)), max_leaf=max_leaf)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized stackless traversal (lax.while_loop over lockstep SoA rays).
+# ---------------------------------------------------------------------------
+
+
+def intersect_bvh(o, d, centers, radii, bvh: BVH, tmin: float = 1e-3,
+                  tmax=jnp.inf):
+    """Nearest-hit via skip-link BVH traversal; same contract as
+    ``intersect.intersect_spheres`` (t=inf / hit_id=-1 on miss)."""
+    n_rays = o.shape[0]
+    end = jnp.int32(bvh.n_nodes)
+    inv_d = jnp.where(jnp.abs(d) > 1e-20, jnp.reciprocal(d),
+                      jnp.float32(1e30) * jnp.sign(d) + jnp.float32(1e30) * (d == 0))
+
+    def slab_hit(node, t_best):
+        nmin = bvh.node_min[node]
+        nmax = bvh.node_max[node]
+        t0 = (nmin - o) * inv_d
+        t1 = (nmax - o) * inv_d
+        t_lo = jnp.minimum(t0, t1)
+        t_hi = jnp.maximum(t0, t1)
+        t_near = jnp.max(t_lo, axis=-1)
+        t_far = jnp.min(t_hi, axis=-1)
+        return (t_near <= t_far) & (t_far > tmin) & (t_near < t_best)
+
+    def prim_test(o1, d1, pid, t_best, hit_id, mask):
+        c = centers[pid]
+        r = radii[pid]
+        oc = c - o1
+        a = jnp.sum(d1 * d1, axis=-1)
+        b = jnp.sum(d1 * oc, axis=-1)
+        cterm = jnp.sum(oc * oc, axis=-1) - r * r
+        disc = b * b - a * cterm
+        pos = disc > 0.0
+        sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+        inv_a = jnp.reciprocal(a)
+        t0 = (b - sq) * inv_a
+        t1 = (b + sq) * inv_a
+        t = jnp.where(t0 > tmin, t0, t1)
+        ok = mask & pos & (t > tmin) & (t < t_best)
+        return jnp.where(ok, t, t_best), jnp.where(ok, pid, hit_id)
+
+    def cond(state):
+        node, _, _ = state
+        return jnp.any(node < end)
+
+    def body(state):
+        node, t_best, hit_id = state
+        live = node < end
+        node_c = jnp.minimum(node, end - 1)
+        hit_box = slab_hit(node_c, t_best) & live
+        count = bvh.node_count[node_c]
+        first = bvh.node_first[node_c]
+        is_leaf = count > 0
+        do_leaf = hit_box & is_leaf
+        for k in range(bvh.max_leaf):
+            slot = jnp.minimum(first + k, bvh.prim_idx.shape[0] - 1)
+            pid = bvh.prim_idx[slot]
+            t_best, hit_id = prim_test(o, d, pid, t_best, hit_id,
+                                       do_leaf & (k < count))
+        descend = hit_box & ~is_leaf
+        nxt = jnp.where(descend, node_c + 1, bvh.node_skip[node_c])
+        node = jnp.where(live, nxt, node)
+        return node, t_best, hit_id
+
+    t_best0 = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n_rays,))
+    state = (jnp.zeros((n_rays,), jnp.int32), t_best0,
+             jnp.full((n_rays,), -1, jnp.int32))
+    node, t_best, hit_id = jax.lax.while_loop(cond, body, state)
+    t_out = jnp.where(hit_id >= 0, t_best, jnp.inf)
+    return t_out, hit_id

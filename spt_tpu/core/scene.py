@@ -32,7 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .bvh import BVH, build_bvh
 from .materials import MaterialBuilder, MaterialTable, default_table
+
+# Scenes larger than this get a BVH at compile time; smaller ones use the
+# brute-force MXU-shaped all-primitive test, which wins below ~1k spheres.
+BVH_AUTO_THRESHOLD = 512
 
 # Sky modes.
 SKY_NONE = 0
@@ -127,7 +132,7 @@ class SphereObject(SceneNode):
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["centers", "radii", "mat_id", "prim_valid", "materials",
-                 "light_idx", "light_valid", "sky_params"],
+                 "light_idx", "light_valid", "sky_params", "bvh"],
     meta_fields=["num_prims", "num_lights", "sky_mode"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -148,6 +153,7 @@ class SceneData:
     light_idx: jax.Array    # (L,) i32 — prim indices of emissive spheres
     light_valid: jax.Array  # (L,) bool
     sky_params: jax.Array   # (2, 3) f32 — [horizon/constant color, zenith color]
+    bvh: Optional[BVH]      # None for small scenes (brute-force wins there)
     num_prims: int          # static live prim count (python int)
     num_lights: int
     sky_mode: int
@@ -238,7 +244,8 @@ class Scene:
 
     # -- compile to device --------------------------------------------------
     def compile(self, capacity: Optional[int] = None,
-                light_capacity: Optional[int] = None) -> SceneData:
+                light_capacity: Optional[int] = None,
+                use_bvh: Optional[bool] = None) -> SceneData:
         spheres = [n for n in self._nodes.values()
                    if n.node_type == NodeType.SPHERE_OBJECT]
         spheres.sort(key=lambda n: n.id)  # deterministic order
@@ -272,6 +279,10 @@ class Scene:
 
         sky_params = np.array([self.sky_horizon, self.sky_zenith], np.float32)
 
+        if use_bvh is None:
+            use_bvh = n > BVH_AUTO_THRESHOLD
+        bvh = build_bvh(centers, radii, valid=valid) if use_bvh else None
+
         return SceneData(
             centers=jnp.asarray(centers), radii=jnp.asarray(radii),
             mat_id=jnp.asarray(mat_id), prim_valid=jnp.asarray(valid),
@@ -279,6 +290,7 @@ class Scene:
             light_idx=jnp.asarray(light_idx),
             light_valid=jnp.asarray(light_valid),
             sky_params=jnp.asarray(sky_params),
+            bvh=bvh,
             num_prims=n, num_lights=nl, sky_mode=self.sky_mode,
         )
 

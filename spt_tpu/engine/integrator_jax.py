@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import intersect, rng, sampling
+from ..core.bvh import intersect_bvh
 from ..core.materials import DIELECTRIC, LAMBERT, METAL
 from ..core.scene import SKY_CONSTANT, SKY_GRADIENT, SceneData
 
@@ -51,6 +52,17 @@ _CAM_SLOT_JX = 0
 _CAM_SLOT_JY = 1
 _CAM_SLOT_LU = 2
 _CAM_SLOT_LV = 3
+
+
+def scene_intersect(scene: SceneData, o, d, tmax=jnp.inf):
+    """Nearest-hit dispatch: BVH traversal when the compiled scene carries
+    one (large scenes), MXU-shaped brute force otherwise.  The choice is
+    static (pytree structure), so each variant jit-specializes cleanly."""
+    if scene.bvh is not None:
+        return intersect_bvh(o, d, scene.centers, scene.radii, scene.bvh,
+                             tmax=tmax)
+    return intersect.intersect_spheres(
+        o, d, scene.centers, scene.radii, scene.prim_valid, tmax=tmax)
 
 
 def sample_sky(d, scene: SceneData):
@@ -105,8 +117,7 @@ def render_reference_sample(scene: SceneData, width: int, height: int, frame):
     # max_bounces = 4 hard-coded (CPUPathTracer.cpp:199); RR applies when the
     # post-increment bounce count exceeds 2, i.e. loop iterations k >= 2.
     for k in range(4):
-        t, hit_id = intersect.intersect_spheres(
-            o, d, scene.centers, scene.radii, scene.prim_valid)
+        t, hit_id = scene_intersect(scene, o, d)
         hit = active & (hit_id >= 0)
         miss = active & (hit_id < 0)
 
@@ -299,8 +310,7 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
             radiance = state["radiance"]
             active = state["active"]
 
-            t, hit_id = intersect.intersect_spheres(
-                o, d, scene.centers, scene.radii, scene.prim_valid)
+            t, hit_id = scene_intersect(scene, o, d)
             hit = active & (hit_id >= 0)
             miss = active & (hit_id < 0)
 
@@ -354,8 +364,7 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
                     p_off, lc, lr, lu1, lu2)
                 pdf_l = pdf_l / nl
                 # Shadow test: the nearest hit along ldir must be the light.
-                ts, ids = intersect.intersect_spheres(
-                    p_off, ldir, scene.centers, scene.radii, scene.prim_valid)
+                ts, ids = scene_intersect(scene, p_off, ldir)
                 lit = (ids == l_prim) & ~inside_l
                 fcos, pdf_b_at_l = _eval_bsdf(scene, ns, wo, ldir, mat_hit)
                 _, l_emission, _, _, _ = scene.materials.gather(scene.mat_id[l_prim])
