@@ -26,16 +26,17 @@ shard_map, and Pallas kernels alike.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # Constants of the reference's hash chain (public-domain PCG-hash constants).
-_REF_SEED_PRIME = jnp.uint32(982451653)
-_LCG_MUL = jnp.uint32(747796405)
-_LCG_INC = jnp.uint32(2891336453)
-_PCG_MUL = jnp.uint32(277803737)
+_REF_SEED_PRIME = np.uint32(982451653)
+_LCG_MUL = np.uint32(747796405)
+_LCG_INC = np.uint32(2891336453)
+_PCG_MUL = np.uint32(277803737)
 
 # The reference divides by the *f32 rounding* of 4294967295.0f, which is
 # exactly 2**32.  Keeping the same literal keeps the same rounding.
-_INV_U32_MAX = jnp.float32(1.0) / jnp.float32(4294967295.0)
+_INV_U32_MAX = np.float32(np.float32(1.0) / np.float32(4294967295.0))
 
 
 def ref_seed(x, y, width, frame):
@@ -63,9 +64,9 @@ def ref_next(state):
         u      = float(r) / 4294967295.0f
     """
     state = state * _LCG_MUL + _LCG_INC
-    shift = (state >> jnp.uint32(28)) + jnp.uint32(4)
+    shift = (state >> np.uint32(28)) + np.uint32(4)
     r = ((state >> shift) ^ state) * _PCG_MUL
-    r = (r >> jnp.uint32(22)) ^ r
+    r = (r >> np.uint32(22)) ^ r
     return state, r.astype(jnp.float32) * _INV_U32_MAX
 
 
@@ -73,28 +74,28 @@ def ref_next(state):
 # Stateless counter-based RNG (the framework-native discipline).
 # ---------------------------------------------------------------------------
 
-_H_MUL1 = jnp.uint32(0x9E3779B9)  # golden-ratio Weyl constant
-_H_MUL2 = jnp.uint32(0x85EBCA6B)  # murmur3 finalizer constant
-_H_MUL3 = jnp.uint32(0xC2B2AE35)  # murmur3 finalizer constant
+_H_MUL1 = np.uint32(0x9E3779B9)  # golden-ratio Weyl constant
+_H_MUL2 = np.uint32(0x85EBCA6B)  # murmur3 finalizer constant
+_H_MUL3 = np.uint32(0xC2B2AE35)  # murmur3 finalizer constant
 
 
 def hash_u32(x):
     """PCG output hash of a uint32 — fast, good avalanche, VPU-friendly."""
     x = jnp.asarray(x, jnp.uint32)
     state = x * _LCG_MUL + _LCG_INC
-    shift = (state >> jnp.uint32(28)) + jnp.uint32(4)
+    shift = (state >> np.uint32(28)) + np.uint32(4)
     r = ((state >> shift) ^ state) * _PCG_MUL
-    return (r >> jnp.uint32(22)) ^ r
+    return (r >> np.uint32(22)) ^ r
 
 
 def _mix(h, k):
     """Murmur3-style combine of a new word ``k`` into running hash ``h``."""
     k = jnp.asarray(k, jnp.uint32) * _H_MUL2
-    k = (k << jnp.uint32(15)) | (k >> jnp.uint32(17))
+    k = (k << np.uint32(15)) | (k >> np.uint32(17))
     k = k * _H_MUL3
     h = h ^ k
-    h = (h << jnp.uint32(13)) | (h >> jnp.uint32(19))
-    return h * jnp.uint32(5) + jnp.uint32(0xE6546B64)
+    h = (h << np.uint32(13)) | (h >> np.uint32(19))
+    return h * np.uint32(5) + np.uint32(0xE6546B64)
 
 
 def counter_bits(pixel, sample, bounce_dim, seed=0):
@@ -116,4 +117,7 @@ def counter_uniform(pixel, sample, bounce_dim, seed=0):
     """Stateless uniform in [0, 1)."""
     bits = counter_bits(pixel, sample, bounce_dim, seed)
     # Take the top 24 bits -> exactly representable in f32, uniform in [0,1).
-    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    # The int32 hop is for Mosaic (no direct u32->f32 cast on TPU); the value
+    # fits in 24 bits so it is lossless.
+    return (bits >> np.uint32(8)).astype(jnp.int32).astype(jnp.float32) \
+        * np.float32(1.0 / (1 << 24))

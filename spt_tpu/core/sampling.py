@@ -11,6 +11,7 @@ identical directions given identical uniforms.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 TWO_PI = 2.0 * jnp.pi
@@ -44,7 +45,10 @@ def refract(d, n, eta):
     cos_i = -dot(d, n)
     sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     tir = sin2_t >= 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    # Double-where: sqrt'(0) = inf at the TIR boundary would NaN the
+    # backward pass even though TIR lanes select the reflection branch.
+    safe = jnp.where(tir, 1.0, 1.0 - sin2_t)
+    cos_t = jnp.where(tir, 0.0, jnp.sqrt(jnp.maximum(safe, 1e-12)))
     refr = eta * d + (eta * cos_i - cos_t) * n
     return refr, tir[..., 0]
 
@@ -130,13 +134,36 @@ def ggx_smith_g(n, wo, wi, roughness):
     return ggx_g1(n, wo, roughness) * ggx_g1(n, wi, roughness)
 
 
-def ggx_pdf(n, wo, wi, roughness):
-    """pdf of NDF-sampled GGX reflection in solid angle: D(h)·(n·h)/(4·(wo·h))."""
-    h = normalize(wo + wi)
+def half_vector(wo, wi, eps=1e-12):
+    """Gradient-safe normalize(wo + wi).
+
+    Returns (h, ok); when wi ≈ -wo the half vector is undefined — ok is
+    False and h is a placeholder whose gradient is fully masked (double-
+    where), so eval results must be gated on ok.  Naive normalize here
+    produces ~1/eps-scale gradients that overflow f32 under fused
+    compilation (the scan-vs-unroll NaN of tests/test_gradients.py).
+    """
+    s = wo + wi
+    len2 = jnp.sum(s * s, axis=-1, keepdims=True)
+    ok = len2[..., 0] > eps
+    safe = jnp.where(ok[..., None], len2, 1.0)
+    h = jnp.where(ok[..., None], s, jnp.zeros_like(s)) * jax.lax.rsqrt(safe)
+    return h, ok
+
+
+def ggx_pdf_from_half(n, wo, h, roughness):
+    """pdf of NDF-sampled GGX reflection given the half vector:
+    D(h)·(n·h)/(4·(wo·h))."""
     d = ggx_ndf(n, h, roughness)
     ndoth = jnp.maximum(dot(n, h)[..., 0], 0.0)
     odoth = jnp.maximum(dot(wo, h)[..., 0], 1e-6)
     return d * ndoth / (4.0 * odoth)
+
+
+def ggx_pdf(n, wo, wi, roughness):
+    """pdf of NDF-sampled GGX reflection in solid angle: D(h)·(n·h)/(4·(wo·h))."""
+    h, ok = half_vector(wo, wi)
+    return jnp.where(ok, ggx_pdf_from_half(n, wo, h, roughness), 0.0)
 
 
 def schlick_fresnel(cos_i, f0):
@@ -149,11 +176,14 @@ def fresnel_dielectric(cos_i, eta):
     """Exact unpolarized dielectric Fresnel reflectance (scalar eta=n_t/n_i)."""
     cos_i = jnp.clip(cos_i, 0.0, 1.0)
     sin2_t = (1.0 / (eta * eta)) * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    tir = sin2_t >= 1.0
+    # Double-where for the sqrt at grazing/TIR (see refract).
+    safe = jnp.where(tir, 1.0, 1.0 - sin2_t)
+    cos_t = jnp.where(tir, 0.0, jnp.sqrt(jnp.maximum(safe, 1e-12)))
     rs = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, 1e-8)
     rp = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, 1e-8)
     f = 0.5 * (rs * rs + rp * rp)
-    return jnp.where(sin2_t >= 1.0, 1.0, f)
+    return jnp.where(tir, 1.0, f)
 
 
 # ---------------------------------------------------------------------------
@@ -170,10 +200,14 @@ def sample_sphere_cone(p, center, radius, u1, u2):
     """
     to_c = center - p
     d2 = jnp.sum(to_c * to_c, axis=-1, keepdims=True)
-    dist = jnp.sqrt(d2)
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
     inside = (dist[..., 0] <= radius)
     sin2_max = jnp.clip((radius * radius)[..., None] / jnp.maximum(d2, 1e-12), 0.0, 1.0)
-    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
+    # Double-where: on/inside the sphere sin2_max==1 and sqrt'(0)=inf would
+    # NaN the backward pass of these (masked) lanes.
+    deg = sin2_max >= 1.0
+    cos_max = jnp.where(deg, 0.0,
+                        jnp.sqrt(jnp.where(deg, 1.0, 1.0 - sin2_max)))
     u1 = u1[..., None]
     u2 = u2[..., None]
     cos_t = 1.0 - u1 * (1.0 - cos_max)
@@ -192,7 +226,9 @@ def sphere_cone_pdf(p, center, radius):
     to_c = center - p
     d2 = jnp.sum(to_c * to_c, axis=-1)
     sin2_max = jnp.clip(radius * radius / jnp.maximum(d2, 1e-12), 0.0, 1.0)
-    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
+    deg = sin2_max >= 1.0
+    cos_max = jnp.where(deg, 0.0,
+                        jnp.sqrt(jnp.where(deg, 1.0, 1.0 - sin2_max)))
     return 1.0 / jnp.maximum(TWO_PI * (1.0 - cos_max), 1e-9)
 
 

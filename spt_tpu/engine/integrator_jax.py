@@ -30,6 +30,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import intersect, rng, sampling
 from ..core.bvh import intersect_bvh
@@ -63,6 +64,16 @@ def scene_intersect(scene: SceneData, o, d, tmax=jnp.inf):
                              tmax=tmax)
     return intersect.intersect_spheres(
         o, d, scene.centers, scene.radii, scene.prim_valid, tmax=tmax)
+
+
+def scene_occluded(scene: SceneData, o, d, tmax):
+    """Any-hit shadow test with tmax, via BVH or brute force."""
+    if scene.bvh is not None:
+        _, hid = intersect_bvh(o, d, scene.centers, scene.radii, scene.bvh,
+                               tmax=tmax)
+        return hid >= 0
+    return intersect.occluded(o, d, scene.centers, scene.radii,
+                              scene.prim_valid, tmax)
 
 
 def sample_sky(d, scene: SceneData):
@@ -212,7 +223,9 @@ def _shade_and_sample(scene: SceneData, p, n_g, wo, mat_id, u_lobe, u1, u2):
     w_met = jnp.where(valid_met[:, None],
                       f_met * (g_met * odoth / (ndotv * ndoth))[:, None],
                       0.0)
-    pdf_met = sampling.ggx_pdf(ns, wo, d_met, roughness)
+    # pdf from the sampled half-vector directly (recomputing h from
+    # wo+d_met is degenerate when d_met ≈ -wo and NaNs the backward pass).
+    pdf_met = sampling.ggx_pdf_from_half(ns, wo, h, roughness)
 
     # --- Dielectric (smooth) --------------------------------------------
     eta = jnp.where(front, 1.0 / jnp.maximum(ior, 1.001), jnp.maximum(ior, 1.001))
@@ -251,15 +264,19 @@ def _eval_bsdf(scene: SceneData, ns, wo, wi, mat_id):
     # Lambert
     f_lam = albedo * sampling.INV_PI
     pdf_lam = ndotl * sampling.INV_PI
-    # GGX metal
-    h = sampling.normalize(wo + wi)
+    # GGX metal — half-vector guarded against the wi ≈ -wo degeneracy.
+    h, h_ok = sampling.half_vector(wo, wi)
     dterm = sampling.ggx_ndf(ns, h, roughness)
     gterm = sampling.ggx_smith_g(ns, wo, wi, roughness)
     odoth = jnp.maximum(sampling.dot(wo, h)[..., 0], 1e-6)
     ndotv = jnp.maximum(sampling.dot(ns, wo)[..., 0], 1e-6)
     fterm = sampling.schlick_fresnel(odoth[:, None], albedo)
-    f_met = fterm * (dterm * gterm / (4.0 * ndotv * jnp.maximum(ndotl, 1e-6)))[:, None]
-    pdf_met = sampling.ggx_pdf(ns, wo, wi, roughness)
+    f_met = jnp.where(
+        h_ok[:, None],
+        fterm * (dterm * gterm / (4.0 * ndotv * jnp.maximum(ndotl, 1e-6)))[:, None],
+        0.0)
+    pdf_met = jnp.where(h_ok, sampling.ggx_pdf_from_half(ns, wo, h, roughness),
+                        0.0)
 
     is_lam = (mtype == LAMBERT)[:, None]
     is_met = (mtype == METAL)[:, None]
@@ -274,16 +291,34 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
                       sample_ids, *, max_bounces: int = 8,
                       rr_depth: int = 3, use_nee: bool = True,
                       use_mis: bool = True, seed: int = 0,
-                      jitter: bool = True, dof: bool = False):
+                      jitter: bool = True, dof: bool = False,
+                      unroll: bool = False, row_offset=0,
+                      full_height: int = None,
+                      intersect_fn=None, occluded_fn=None,
+                      with_stats: bool = False):
     """Trace ``len(sample_ids)`` full samples per pixel; return summed radiance.
 
     sample_ids: (S,) int array of global sample indices (progressive chunks
     pass disjoint ranges; RNG streams depend only on the ids, so any chunking
     yields identical results).  Output: (H, W, 3) radiance *sum* over S.
+
+    Sharding hooks (used by spt_tpu.parallel): ``row_offset``/``full_height``
+    render a horizontal band of a taller image with *global* pixel ids and
+    camera NDC, so a row-sharded render is bitwise identical to the
+    single-device one; ``intersect_fn``/``occluded_fn`` override scene
+    intersection (e.g. primitive-sharded intersection with cross-device
+    min-reduction).
     """
+    if full_height is None:
+        full_height = height
+    if intersect_fn is None:
+        intersect_fn = lambda o, d: scene_intersect(scene, o, d)
+    if occluded_fn is None:
+        occluded_fn = lambda o, d, tmax: scene_occluded(scene, o, d, tmax)
     n_px = height * width
     px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.uint32)[None, :], (height, width)).reshape(-1)
     py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.uint32)[:, None], (height, width)).reshape(-1)
+    py = py + jnp.asarray(row_offset, jnp.uint32)
     pixel_id = py * jnp.uint32(width) + px
     seed_u = jnp.uint32(seed)
     nl = max(scene.num_lights, 1)
@@ -292,8 +327,8 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
     def one_sample(carry_radiance, sample_id):
         sid = jnp.asarray(sample_id, jnp.uint32)
         sid_b = jnp.broadcast_to(sid, px.shape)
-        o, d = _camera_rays(camera, px, py, pixel_id, sid_b, width, height,
-                            seed_u, jitter, dof)
+        o, d = _camera_rays(camera, px, py, pixel_id, sid_b, width,
+                            full_height, seed_u, jitter, dof)
         state = dict(
             o=o, d=d,
             throughput=jnp.ones_like(d),
@@ -301,6 +336,7 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
             active=jnp.ones((n_px,), bool),
             prev_pdf=jnp.zeros((n_px,), jnp.float32),
             prev_specular=jnp.ones((n_px,), bool),  # camera vertex counts as delta
+            n_rays=jnp.zeros((), jnp.float32),
         )
 
         def bounce(state, k):
@@ -310,9 +346,12 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
             radiance = state["radiance"]
             active = state["active"]
 
-            t, hit_id = scene_intersect(scene, o, d)
+            t, hit_id = intersect_fn(o, d)
             hit = active & (hit_id >= 0)
             miss = active & (hit_id < 0)
+            n_rays = state["n_rays"] + jnp.sum(active.astype(jnp.float32))
+            if has_lights:  # one shadow ray per surviving hit lane
+                n_rays = n_rays + jnp.sum(hit.astype(jnp.float32))
 
             radiance = jnp.where(miss[:, None],
                                  radiance + throughput * sample_sky(d, scene),
@@ -363,9 +402,16 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
                 ldir, pdf_l, inside_l = sampling.sample_sphere_cone(
                     p_off, lc, lr, lu1, lu2)
                 pdf_l = pdf_l / nl
-                # Shadow test: the nearest hit along ldir must be the light.
-                ts, ids = scene_intersect(scene, p_off, ldir)
-                lit = (ids == l_prim) & ~inside_l
+                # Distance to the light along the sampled direction, then an
+                # any-hit occlusion test short of it (the light sphere's own
+                # first hit lies beyond tmax, so it never self-occludes).
+                oc_l = lc - p_off
+                b_l = jnp.sum(ldir * oc_l, axis=-1)
+                c_l = jnp.sum(oc_l * oc_l, axis=-1) - lr * lr
+                disc_l = jnp.maximum(b_l * b_l - c_l, 0.0)
+                t_l = b_l - jnp.sqrt(disc_l)
+                blocked = occluded_fn(p_off, ldir, t_l - jnp.float32(1e-3))
+                lit = ~blocked & ~inside_l & (t_l > intersect.TMIN)
                 fcos, pdf_b_at_l = _eval_bsdf(scene, ns, wo, ldir, mat_hit)
                 _, l_emission, _, _, _ = scene.materials.gather(scene.mat_id[l_prim])
                 w_nee = sampling.power_heuristic(pdf_l, pdf_b_at_l) if use_mis \
@@ -400,12 +446,35 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
                 prev_pdf=jnp.where(active_new, sh["pdf"], state["prev_pdf"]),
                 prev_specular=jnp.where(active_new, sh["specular"],
                                         state["prev_specular"]),
+                n_rays=n_rays,
             )
             return out, None
 
-        state, _ = jax.lax.scan(bounce, state, jnp.arange(max_bounces))
-        return carry_radiance + state["radiance"], None
+        if unroll:  # python loop: keeps jax_debug_nans line info
+            for kk in range(max_bounces):
+                state, _ = bounce(state, jnp.asarray(kk))
+        else:
+            # Remat the bounce body: differentiating the scan would otherwise
+            # stack per-bounce residuals, whose (N, 3) trailing dim pads 42x
+            # on TPU (3 -> 128 lanes) and OOMs at 512^2.  Path replay is
+            # cheap to recompute (counter RNG re-derives every draw).
+            state, _ = jax.lax.scan(jax.checkpoint(bounce), state,
+                                    jnp.arange(max_bounces))
+        carry_radiance, carry_count = carry_radiance
+        return (carry_radiance + state["radiance"],
+                carry_count + state["n_rays"]), None
 
-    radiance0 = jnp.zeros((n_px, 3), jnp.float32)
-    radiance, _ = jax.lax.scan(one_sample, radiance0, jnp.asarray(sample_ids))
-    return radiance.reshape(height, width, 3)
+    carry0 = (jnp.zeros((n_px, 3), jnp.float32), jnp.zeros((), jnp.float32))
+    if unroll:
+        carry = carry0
+        for sid in np.asarray(sample_ids):
+            carry, _ = one_sample(carry, jnp.asarray(sid))
+    else:
+        # Remat per sample too (see bounce remat note above).
+        carry, _ = jax.lax.scan(jax.checkpoint(one_sample), carry0,
+                                jnp.asarray(sample_ids))
+    radiance, n_rays = carry
+    img = radiance.reshape(height, width, 3)
+    if with_stats:
+        return img, n_rays
+    return img

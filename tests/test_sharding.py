@@ -1,0 +1,126 @@
+"""Distribution correctness on the virtual 8-device CPU mesh.
+
+The gold standard throughout: a sharded render/gradient must equal the
+single-device one (counter RNG keys on global pixel/sample ids only).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import spt_tpu
+from spt_tpu import Camera, Scene
+from spt_tpu.diff import gradients as G
+from spt_tpu.engine.integrator_jax import render_megasample
+from spt_tpu.parallel.mesh import make_render_mesh
+from spt_tpu.parallel import sharding as S
+
+
+def _scene():
+    scene = Scene()
+    scene.set_sky(spt_tpu.SKY_NONE)
+    white = scene.add_material("lambert", albedo=(0.7, 0.7, 0.7))
+    red = scene.add_material("lambert", albedo=(0.6, 0.1, 0.1))
+    lamp = scene.add_material("lambert", albedo=(0.8,) * 3, emission=(10.0,) * 3)
+    metal = scene.add_material("metal", albedo=(0.8, 0.8, 0.9), roughness=0.3)
+    scene.create_sphere("floor", (0, -1000, 4), 1000.0, white)
+    scene.create_sphere("ball", (-0.7, 0.6, 4.0), 0.6, red)
+    scene.create_sphere("mball", (0.8, 0.5, 4.3), 0.5, metal)
+    scene.create_sphere("lamp", (0.0, 2.8, 4.0), 0.7, lamp)
+    return scene
+
+
+CAM = Camera.look_at((0, 1.0, -1.0), (0, 0.8, 4.0), fov_degrees=55)
+KW = dict(max_bounces=3, rr_depth=2, seed=11)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+def test_pixel_sharded_matches_single_device():
+    sd = _scene().compile()
+    W, H = 32, 32
+    ids = jnp.arange(2)
+    ref = np.asarray(render_megasample(sd, CAM, W, H, ids, **KW))
+    mesh = make_render_mesh(data=8)
+    out = np.asarray(S.render_pixel_sharded(sd, CAM, W, H, ids, mesh, **KW))
+    # Remat recompute makes sharded-vs-single differ by float reassociation
+    # ulps; identical sampling decisions still hold.
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pixel_sharded_4x2_mesh():
+    sd = _scene().compile()
+    W, H = 32, 32
+    ids = jnp.arange(2)
+    ref = np.asarray(render_megasample(sd, CAM, W, H, ids, **KW))
+    mesh = make_render_mesh(data=4, prim=2)
+    out = np.asarray(S.render_pixel_sharded(sd, CAM, W, H, ids, mesh, **KW))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sample_sharded_matches_single_device():
+    sd = _scene().compile()
+    W = H = 24
+    mesh = make_render_mesh(data=8)
+    out = np.asarray(S.render_sample_sharded(sd, CAM, W, H, 2, mesh, **KW))
+    ref = np.asarray(render_megasample(sd, CAM, W, H, jnp.arange(16), **KW))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_prim_sharded_matches_single_device():
+    sd = _scene().compile()
+    W, H = 24, 24
+    ids = jnp.arange(2)
+    ref = np.asarray(render_megasample(sd, CAM, W, H, ids, **KW))
+    mesh = make_render_mesh(data=2, prim=4)
+    out = np.asarray(S.render_prim_sharded(sd, CAM, W, H, ids, mesh, **KW))
+    close = np.isclose(out, ref, rtol=1e-4, atol=1e-5).all(axis=-1)
+    assert close.mean() > 0.995, f"{(~close).sum()} px differ"
+
+
+def test_prim_sharded_large_scene(rng_np):
+    """600-sphere scene sharded over prim axis, compared to brute render."""
+    scene = Scene()
+    m = scene.add_material("lambert", albedo=(0.6, 0.6, 0.6))
+    for i in range(600):
+        p = rng_np.uniform(-8, 8, 3)
+        p[2] += 12.0
+        scene.create_sphere(f"s{i}", tuple(p), float(rng_np.uniform(0.2, 0.5)), m)
+    sd = scene.compile(use_bvh=False)
+    W = H = 16
+    ids = jnp.arange(1)
+    kw = dict(max_bounces=2, rr_depth=8, seed=1)
+    cam = Camera.look_at((0, 0, -4), (0, 0, 12), fov_degrees=60)
+    ref = np.asarray(render_megasample(sd, cam, W, H, ids, **kw))
+    mesh = make_render_mesh(data=1, prim=8)
+    out = np.asarray(S.render_prim_sharded(sd, cam, W, H, ids, mesh, **kw))
+    close = np.isclose(out, ref, rtol=1e-4, atol=1e-5).all(axis=-1)
+    assert close.mean() > 0.99
+
+
+def test_dp_grad_step_matches_single_device():
+    sd = _scene().compile()
+    W = H = 16
+    render = G.make_render_fn(sd, CAM, W, H, max_bounces=3)
+    params = G.get_params(sd, ("albedo",))
+    target = render(params, jnp.arange(4))
+    loss_fn = G.make_loss_fn(render, target)
+
+    mesh = make_render_mesh(data=8)
+    step = S.make_dp_grad_step(loss_fn, mesh, samples_per_device=1)
+    loss_sh, grads_sh = step(params, jnp.int32(0))
+
+    # Single device: average loss/grad over the same 8 sample ids.
+    losses, grads = [], []
+    for i in range(8):
+        l, g = jax.value_and_grad(loss_fn)(params, jnp.asarray([i]))
+        losses.append(l)
+        grads.append(g)
+    loss_ref = np.mean([float(l) for l in losses])
+    grad_ref = np.mean([np.asarray(g["albedo"]) for g in grads], axis=0)
+    np.testing.assert_allclose(float(loss_sh), loss_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grads_sh["albedo"]), grad_ref,
+                               rtol=1e-4, atol=1e-6)
