@@ -43,6 +43,7 @@ BVH_AUTO_THRESHOLD = 512
 SKY_NONE = 0
 SKY_GRADIENT = 1   # the reference's sample_sky (CPUPathTracer.cpp:286-292)
 SKY_CONSTANT = 2
+SKY_ENVMAP = 3   # equirectangular HDR environment map (IBL)
 
 
 class NodeType(IntEnum):
@@ -132,7 +133,7 @@ class SphereObject(SceneNode):
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["centers", "radii", "mat_id", "prim_valid", "materials",
-                 "light_idx", "light_valid", "sky_params", "bvh"],
+                 "light_idx", "light_valid", "sky_params", "bvh", "env_map"],
     meta_fields=["num_prims", "num_lights", "sky_mode"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -154,6 +155,7 @@ class SceneData:
     light_valid: jax.Array  # (L,) bool
     sky_params: jax.Array   # (2, 3) f32 — [horizon/constant color, zenith color]
     bvh: Optional[BVH]      # None for small scenes (brute-force wins there)
+    env_map: Optional[jax.Array]  # (He, We, 3) f32 equirect radiance or None
     num_prims: int          # static live prim count (python int)
     num_lights: int
     sky_mode: int
@@ -183,6 +185,7 @@ class Scene:
         # (CPUPathTracer.cpp:288-291).
         self.sky_horizon = (1.0, 1.0, 1.0)
         self.sky_zenith = (0.5, 0.7, 1.0)
+        self.env_map = None  # (He, We, 3) float radiance, equirectangular
 
     # -- node management ----------------------------------------------------
     def create_node(self, node: SceneNode) -> SceneNode:
@@ -230,6 +233,16 @@ class Scene:
             self.sky_horizon = tuple(horizon)
         if zenith is not None:
             self.sky_zenith = tuple(zenith)
+        self._has_changes = True
+
+    def set_environment_map(self, image) -> None:
+        """Image-based lighting from an equirectangular radiance map
+        (the capability the reference sketched in dead code —
+        Scene.cpp:124-169 — but never shipped)."""
+        self.env_map = np.asarray(image, np.float32)
+        if self.env_map.ndim != 3 or self.env_map.shape[2] != 3:
+            raise ValueError("environment map must be (H, W, 3)")
+        self.sky_mode = SKY_ENVMAP
         self._has_changes = True
 
     # -- dirty protocol (Scene.h:207-215) ------------------------------------
@@ -282,6 +295,7 @@ class Scene:
         if use_bvh is None:
             use_bvh = n > BVH_AUTO_THRESHOLD
         bvh = build_bvh(centers, radii, valid=valid) if use_bvh else None
+        env_map = jnp.asarray(self.env_map) if self.env_map is not None else None
 
         return SceneData(
             centers=jnp.asarray(centers), radii=jnp.asarray(radii),
@@ -290,7 +304,7 @@ class Scene:
             light_idx=jnp.asarray(light_idx),
             light_valid=jnp.asarray(light_valid),
             sky_params=jnp.asarray(sky_params),
-            bvh=bvh,
+            bvh=bvh, env_map=env_map,
             num_prims=n, num_lights=nl, sky_mode=self.sky_mode,
         )
 

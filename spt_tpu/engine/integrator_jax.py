@@ -35,7 +35,7 @@ import numpy as np
 from ..core import intersect, rng, sampling
 from ..core.bvh import intersect_bvh
 from ..core.materials import DIELECTRIC, LAMBERT, METAL
-from ..core.scene import SKY_CONSTANT, SKY_GRADIENT, SceneData
+from ..core.scene import SKY_CONSTANT, SKY_ENVMAP, SKY_GRADIENT, SceneData
 
 EPS_OFFSET = 1e-4  # the reference's surface offset (CPUPathTracer.cpp:277)
 
@@ -89,7 +89,31 @@ def sample_sky(d, scene: SceneData):
         return horizon * (1.0 - t) + zenith * t
     if scene.sky_mode == SKY_CONSTANT:
         return jnp.broadcast_to(scene.sky_params[0], d.shape)
+    if scene.sky_mode == SKY_ENVMAP and scene.env_map is not None:
+        return sample_env_map(scene.env_map, d)
     return jnp.zeros_like(d)
+
+
+def sample_env_map(env, d):
+    """Equirectangular lookup: dir -> (u, v) -> bilinear radiance sample."""
+    he, we = env.shape[0], env.shape[1]
+    u = (jnp.arctan2(d[..., 0], d[..., 2]) * (0.5 / jnp.pi) + 0.5) * we - 0.5
+    v = (jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) / jnp.pi) * he - 0.5
+    v = jnp.clip(v, 0.0, he - 1.0)  # clamp-to-edge at the poles
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    u0i = jnp.mod(u0.astype(jnp.int32), we)
+    u1i = jnp.mod(u0i + 1, we)
+    v0i = jnp.clip(v0.astype(jnp.int32), 0, he - 1)
+    v1i = jnp.clip(v0i + 1, 0, he - 1)
+    c00 = env[v0i, u0i]
+    c01 = env[v0i, u1i]
+    c10 = env[v1i, u0i]
+    c11 = env[v1i, u1i]
+    return ((c00 * (1 - fu) + c01 * fu) * (1 - fv)
+            + (c10 * (1 - fu) + c11 * fu) * fv)
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,7 @@ import numpy as np
 
 from ..core import rng
 from ..core.materials import DIELECTRIC, LAMBERT, METAL
-from ..core.scene import SKY_CONSTANT, SKY_GRADIENT, SceneData
+from ..core.scene import SKY_CONSTANT, SKY_ENVMAP, SKY_GRADIENT, SceneData
 
 _NDIMS = 8
 _DIM_RR, _DIM_U1, _DIM_U2, _DIM_LSEL, _DIM_LU1, _DIM_LU2, _DIM_LOBE = range(7)
@@ -152,6 +152,11 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
             one = jnp.ones_like(dx)
             c = scene.sky_params[0]
             return c[0] * one, c[1] * one, c[2] * one
+        if scene.sky_mode == SKY_ENVMAP and scene.env_map is not None:
+            from .integrator_jax import sample_env_map
+            rgb = sample_env_map(scene.env_map,
+                                 jnp.stack([dx, dy, dz], axis=-1))
+            return rgb[..., 0], rgb[..., 1], rgb[..., 2]
         z = jnp.zeros_like(dx)
         return z, z, z
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax
 
 from ..core.camera import Camera
+from ..core.scene import SKY_ENVMAP
 from ..kernels import megakernel
 from .api import JaxPathTracer, register_backend
 
@@ -34,7 +35,9 @@ class PallasPathTracer(JaxPathTracer):
     def _render_samples(self, start_sample: int, spp: int):
         s = self._settings
         if s.integrator == "reference" or \
-                self._scene_data.capacity > MAX_PALLAS_PRIMS:
+                self._scene_data.capacity > MAX_PALLAS_PRIMS or \
+                self._scene_data.sky_mode == SKY_ENVMAP:
+            # Env-map lighting needs texture gathers — pure-JAX path for now.
             return super()._render_samples(start_sample, spp)
         camera = self._camera or self._default_camera()
         return megakernel.render_tiles(

@@ -26,6 +26,22 @@ _MAT_KIND = {"lambert": "lambert", "diffuse": "lambert",
              "dielectric": "glass", "glass": "glass"}
 
 
+def load_env_map(path: str):
+    """Load an equirectangular radiance map: .npy (float) or any
+    PIL-readable image (sRGB-decoded to linear)."""
+    import numpy as np
+
+    if path.endswith(".npy"):
+        arr = np.load(path).astype(np.float32)
+    else:
+        from PIL import Image
+        arr = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+        arr = arr ** 2.2  # sRGB-ish decode to linear radiance
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"environment map {path!r} must decode to (H, W, 3)")
+    return arr
+
+
 def load_scene(path_or_dict) -> Tuple[Scene, Optional[Camera], RenderSettings]:
     """Load a scene file; returns (scene, camera_or_None, settings)."""
     if isinstance(path_or_dict, dict):
@@ -88,10 +104,14 @@ def load_scene(path_or_dict) -> Tuple[Scene, Optional[Camera], RenderSettings]:
     elif etype == "none":
         scene.set_sky(SKY_NONE)
     elif etype == "hdri":
-        Log.warn("hdri environment not yet supported; using constant "
-                 "intensity fallback")
+        path = env.get("path")
         inten = float(env.get("intensity", 1.0))
-        scene.set_sky(SKY_CONSTANT, horizon=(inten,) * 3)
+        if path:
+            scene.set_environment_map(load_env_map(path) * inten)
+        else:
+            Log.warn("hdri environment without 'path'; using constant "
+                     "intensity fallback")
+            scene.set_sky(SKY_CONSTANT, horizon=(inten,) * 3)
     else:
         raise ValueError(f"unknown environment type {etype!r}")
 
