@@ -93,38 +93,37 @@ def main() -> int:
         times.append(time.time() - t0)
     dt_f = min(times)
 
-    # --- forward+backward: gradient of image sum wrt scene params --------
-    # (SoA integrator: the production differentiable path.)  The exact
-    # traced-ray count rides along as an aux output so the whole benchmark
-    # compiles a single big SoA graph.
-    params = G.get_params(scene_data, ("albedo", "roughness", "emission",
-                                       "centers", "radii"))
-    SPP_B = 8
-
-    @jax.jit
-    def fwd_bwd(p, ids):
-        def loss(pp):
-            img, n_rays = render_megasample_soa(
-                G.apply_params(scene_data, pp), camera, W, H, ids,
-                mtypes=mtypes, with_stats=True, **kw)
-            return jnp.sum(img), n_rays
-        return jax.value_and_grad(loss, has_aux=True)(p)
-
-    ids0 = jnp.arange(SPP_B)
-    (_, n_rays0), _ = jax.block_until_ready(fwd_bwd(params, ids0))
-    segs_per_spp = float(n_rays0) / SPP_B
-    log(f"measured segments per spp: {segs_per_spp/1e6:.2f}M "
-        f"({segs_per_spp/(W*H):.2f} per path incl. shadow rays)")
+    # --- exact ray-segment count (small instrumented SoA pass) ------------
+    CW = CH = 128
+    count_fn = jax.jit(lambda sc, ids: render_megasample_soa(
+        sc, camera, CW, CH, ids, mtypes=mtypes, with_stats=True, **kw)[1])
+    n_rays0 = float(count_fn(scene_data, jnp.arange(8)))
+    segs_per_path = n_rays0 / (8.0 * CW * CH)
+    segs_per_spp = segs_per_path * W * H
+    log(f"measured segments per path: {segs_per_path:.2f} "
+        f"(incl. shadow rays) -> {segs_per_spp/1e6:.2f}M per spp at {W}x{H}")
     fwd_rays_s = SPP_F * segs_per_spp / dt_f
     log(f"forward (pallas): {dt_f:.3f}s/{SPP_F}spp -> {fwd_rays_s/1e6:.0f}M rays/s")
+
+    # --- forward+backward: fused Pallas path-replay kernel -----------------
+    # Gradients of sum(image) w.r.t. all scene parameters (geometry +
+    # materials + sky), verified against jax.grad of the SoA integrator.
+    from spt_tpu.kernels import megakernel_grad
+    SPP_B = 16
+
+    def fwd_bwd(start):
+        return megakernel_grad.render_and_grad(
+            scene_data, camera, W, H, start, SPP_B, **kw)
+
+    jax.block_until_ready(fwd_bwd(0))
     times = []
     for i in range(3):
         t0 = time.time()
-        jax.block_until_ready(fwd_bwd(params, ids0 + (i + 1) * SPP_B))
+        jax.block_until_ready(fwd_bwd((i + 1) * SPP_B))
         times.append(time.time() - t0)
     dt_b = min(times)
     fb_rays_s = SPP_B * segs_per_spp / dt_b
-    log(f"fwd+bwd (path replay): {dt_b:.3f}s/{SPP_B}spp -> "
+    log(f"fwd+bwd (fused pallas path replay): {dt_b:.3f}s/{SPP_B}spp -> "
         f"{fb_rays_s/1e6:.0f}M rays/s")
 
     result = {

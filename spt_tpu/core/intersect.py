@@ -34,7 +34,9 @@ def _quadratic_t(b, a, c, tmin):
     """
     disc = b * b - a * c
     pos = disc > 0.0
-    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+    # 1e-12 floor bounds the grazing-incidence gradient (see physics.py).
+    sq = jnp.where(pos, jnp.sqrt(jnp.maximum(
+        jnp.where(pos, disc, 1.0), 1e-12)), 0.0)
     inv_a = jnp.reciprocal(a)
     t0 = (b - sq) * inv_a
     t1 = (b + sq) * inv_a

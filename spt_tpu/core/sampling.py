@@ -106,7 +106,8 @@ def ggx_sample_half(n, roughness, u1, u2):
     phi = TWO_PI * u2
     cos2 = (1.0 - u1) / (1.0 + (alpha * alpha - 1.0) * u1)
     cos_t = jnp.sqrt(jnp.maximum(cos2, 0.0))
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos2, 0.0))
+    # 1e-12 floor: sqrt'(0) at u1==0 would poison roughness gradients.
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos2, 1e-12))
     hx = sin_t * jnp.cos(phi)
     hy = sin_t * jnp.sin(phi)
     tangent, bitangent = build_onb_reference(n)
@@ -211,7 +212,7 @@ def sample_sphere_cone(p, center, radius, u1, u2):
     u1 = u1[..., None]
     u2 = u2[..., None]
     cos_t = 1.0 - u1 * (1.0 - cos_max)
-    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
     phi = TWO_PI * u2
     w = to_c / jnp.maximum(dist, 1e-12)
     tangent, bitangent = build_onb_reference(w)

@@ -175,7 +175,9 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
             c = _dot(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
             disc = b * b - c
             pos = disc > 0.0
-            sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+            # Grazing-gradient floor; see kernels/physics.py.
+            sq = jnp.where(pos, jnp.sqrt(jnp.maximum(
+                jnp.where(pos, disc, 1.0), 1e-12)), 0.0)
             t0 = b - sq
             t1 = b + sq
             tj = jnp.where(t0 > TMIN, t0, t1)
@@ -200,7 +202,8 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
             c = _dot(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
             disc = b * b - c
             pos = disc > 0.0
-            sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+            sq = jnp.where(pos, jnp.sqrt(jnp.maximum(
+                jnp.where(pos, disc, 1.0), 1e-12)), 0.0)
             t0 = b - sq
             t1 = b + sq
             tj = jnp.where(t0 > TMIN, t0, t1)
@@ -315,7 +318,7 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
             a2g = alpha * alpha
             cos2h = (1.0 - u1) / (1.0 + (a2g - 1.0) * u1)
             cth = jnp.sqrt(jnp.maximum(cos2h, 0.0))
-            sth = jnp.sqrt(jnp.maximum(1.0 - cos2h, 0.0))
+            sth = jnp.sqrt(jnp.maximum(1.0 - cos2h, 1e-12))
             hwx = sth * cphi * tx + sth * sphi * bx + cth * nsx
             hwy = sth * cphi * ty + sth * sphi * by + cth * nsy
             hwz = sth * cphi * tz + sth * sphi * bz + cth * nsz
@@ -410,7 +413,7 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
                 cosm = jnp.where(degm, 0.0,
                                  jnp.sqrt(jnp.where(degm, 1.0, 1.0 - sin2m)))
                 ctl = 1.0 - lu1 * (1.0 - cosm)
-                stl = jnp.sqrt(jnp.maximum(0.0, 1.0 - ctl * ctl))
+                stl = jnp.sqrt(jnp.maximum(1.0 - ctl * ctl, 1e-12))
                 phil = (2.0 * math.pi) * lu2
                 wlx, wly, wlz = tocx / dist, tocy / dist, tocz / dist
                 ltx, lty, ltz, lbx, lby, lbz = _onb(wlx, wly, wlz)

@@ -135,7 +135,11 @@ def intersect_spheres_unrolled(spheres, mtypes, ox, oy, oz, dx, dy, dz,
         c = _dot(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
         disc = b * b - c
         pos = disc > 0.0
-        sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+        # The 1e-12 floor bounds dt/dtheta at grazing incidence (otherwise
+        # the sqrt gradient reaches 1/sqrt(disc) ~ 1e15 and overflows f32
+        # in deep adjoint chains); forward t changes by <= 1e-6.
+        sq = jnp.where(pos, jnp.sqrt(jnp.maximum(
+            jnp.where(pos, disc, 1.0), 1e-12)), 0.0)
         t0 = b - sq
         t1 = b + sq
         tj = jnp.where(t0 > TMIN, t0, t1)
@@ -164,7 +168,8 @@ def occluded_unrolled(spheres, ox, oy, oz, dx, dy, dz, tmax):
         c = _dot(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
         disc = b * b - c
         pos = disc > 0.0
-        sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+        sq = jnp.where(pos, jnp.sqrt(jnp.maximum(
+            jnp.where(pos, disc, 1.0), 1e-12)), 0.0)
         t0 = b - sq
         t1 = b + sq
         tj = jnp.where(t0 > TMIN, t0, t1)
@@ -259,7 +264,9 @@ def trace_bounce(theta, state, aux, u, nl, cfg: BounceCfg):
     a2g = alpha * alpha
     cos2h = (1.0 - u1) / (1.0 + (a2g - 1.0) * u1)
     cth = jnp.sqrt(jnp.maximum(cos2h, 0.0))
-    sth = jnp.sqrt(jnp.maximum(1.0 - cos2h, 0.0))
+    # 1e-12 floor: at u1 == 0 exactly, cos2h == 1 and sqrt'(0) = inf would
+    # poison the roughness cotangent (cos2h depends on alpha).
+    sth = jnp.sqrt(jnp.maximum(1.0 - cos2h, 1e-12))
     hwx = sth * cphi * tx + sth * sphi * bx + cth * nsx
     hwy = sth * cphi * ty + sth * sphi * by + cth * nsy
     hwz = sth * cphi * tz + sth * sphi * bz + cth * nsz
@@ -347,7 +354,9 @@ def trace_bounce(theta, state, aux, u, nl, cfg: BounceCfg):
         cosm_l = jnp.where(degm, 0.0,
                            jnp.sqrt(jnp.where(degm, 1.0, 1.0 - sin2m)))
         ctl = 1.0 - lu1 * (1.0 - cosm_l)
-        stl = jnp.sqrt(jnp.maximum(0.0, 1.0 - ctl * ctl))
+        # Same sqrt'(0) hazard as sth: ctl == 1 at lu1 == 0 and ctl depends
+        # on light geometry.
+        stl = jnp.sqrt(jnp.maximum(1.0 - ctl * ctl, 1e-12))
         phil = (2.0 * math.pi) * lu2
         wlx, wly, wlz = tocx / dist, tocy / dist, tocz / dist
         ltx, lty, ltz, lbx, lby, lbz = _onb(wlx, wly, wlz)

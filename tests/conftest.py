@@ -18,7 +18,9 @@ import jax  # noqa: E402
 
 # The axon TPU plugin overrides the JAX_PLATFORMS env var; the config update
 # wins, so tests run on the virtual 8-device CPU platform, not the tunnel.
-jax.config.update("jax_platforms", "cpu")
+# SPT_TEST_TPU=1 escapes the pin for the TPU-gated kernel tests.
+if not os.environ.get("SPT_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
