@@ -109,7 +109,8 @@ def main() -> int:
     # Gradients of sum(image) w.r.t. all scene parameters (geometry +
     # materials + sky), verified against jax.grad of the SoA integrator.
     from spt_tpu.kernels import megakernel_grad
-    SPP_B = 16
+    SPP_B = 256  # the metric config is 1024 spp; large launches amortize
+                 # the fixed dispatch cost exactly as production renders do
 
     def fwd_bwd(start):
         return megakernel_grad.render_and_grad(

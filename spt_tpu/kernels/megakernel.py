@@ -67,6 +67,40 @@ _SPH_STRIDE = 12
 _META_FIXED = 3
 
 
+def pack_scene_static(scene: SceneData):
+    """Host-side static metadata: per-sphere material types + light prims."""
+    valid = np.asarray(scene.prim_valid)
+    mat_id = np.asarray(scene.mat_id)
+    mtype = np.asarray(scene.materials.mtype)
+    mtypes = [int(mtype[mat_id[i]]) if valid[i] else 0
+              for i in range(scene.capacity)]
+    light_prims = [int(p) for p, ok in
+                   zip(np.asarray(scene.light_idx),
+                       np.asarray(scene.light_valid)) if ok]
+    return mtypes, light_prims
+
+
+def pack_blob_jnp(scene: SceneData, camera):
+    """Traceable (jit/grad-compatible) packing of the uniform blob.
+
+    Same layout as ``pack_scene`` but built from device arrays so scene
+    parameters stay differentiable through the packing."""
+    cam = jnp.concatenate([
+        camera.position, camera.right, camera.up, camera.forward,
+        jnp.reshape(camera.tan_half_fov, (1,))])
+    sky = scene.sky_params.reshape(-1)
+    valid = scene.prim_valid.astype(jnp.float32)[:, None]
+    alb = scene.materials.albedo[scene.mat_id]
+    emi = scene.materials.emission[scene.mat_id]
+    ro = scene.materials.roughness[scene.mat_id][:, None]
+    io = jnp.where(scene.prim_valid,
+                   scene.materials.ior[scene.mat_id], 1.5)[:, None]
+    rows = jnp.concatenate([
+        scene.centers * valid, scene.radii[:, None] * valid,
+        alb * valid, emi * valid, ro * valid, io], axis=1)  # (P, 12)
+    return jnp.concatenate([cam, sky, rows.reshape(-1)]).astype(jnp.float32)
+
+
 def pack_scene(scene: SceneData, camera) -> tuple[np.ndarray, list[int], int]:
     """Host-side packing of scene+camera uniforms -> (blob, mtypes, n_lights)."""
     cap = scene.capacity

@@ -197,3 +197,30 @@ def test_fused_kernel_matches_soa_on_tpu():
         np.testing.assert_allclose(np.asarray(g_pal[key]),
                                    np.asarray(g_ref[key]),
                                    rtol=3e-2, atol=3e-3, err_msg=key)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="custom_vjp pallas render requires Mosaic (TPU)")
+def test_pallas_custom_vjp_matches_soa_grad():
+    from spt_tpu.diff import pallas_diff
+    sd = _scene().compile()
+    kw = dict(max_bounces=3, rr_depth=5, use_nee=True, use_mis=True, seed=4)
+    spp = 2
+    render = pallas_diff.make_pallas_render_fn(sd, CAM, W, H, spp=spp, **kw)
+    params = G.get_params(sd, ("albedo", "roughness"))
+
+    val_p, g_p = jax.value_and_grad(
+        lambda p: jnp.sum(render(p, 0)))(params)
+
+    mt = static_mtypes(sd)
+
+    def loss(p):
+        sc = G.apply_params(sd, p)
+        return jnp.sum(render_megasample_soa(sc, CAM, W, H, jnp.arange(spp),
+                                             mtypes=mt, **kw)) / spp
+
+    val_s, g_s = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(val_p), float(val_s), rtol=1e-3)
+    for key in params:
+        np.testing.assert_allclose(np.asarray(g_p[key]), np.asarray(g_s[key]),
+                                   rtol=3e-2, atol=3e-3, err_msg=key)
