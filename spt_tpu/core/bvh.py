@@ -229,13 +229,22 @@ def build_bvh(centers, radii, valid=None, max_leaf: int = MAX_LEAF,
 
 # ---------------------------------------------------------------------------
 # Vectorized stackless traversal (lax.while_loop over lockstep SoA rays).
+#
+# Differentiability: ``lax.while_loop`` has no reverse-mode rule, and hit
+# *selection* is a discrete decision anyway, so every traversal runs on
+# detached (stop_gradient) values and returns only the integer winner id;
+# the hit distance is then *recomputed* differentiably from the winning
+# sphere's quadratic — the same interior-term estimator the brute-force
+# argmin path yields (gradients flow only through the selected primitive).
 # ---------------------------------------------------------------------------
 
 
-def intersect_bvh(o, d, centers, radii, bvh: BVH, tmin: float = 1e-3,
-                  tmax=jnp.inf):
-    """Nearest-hit via skip-link BVH traversal; same contract as
-    ``intersect.intersect_spheres`` (t=inf / hit_id=-1 on miss)."""
+def _traverse(o, d, centers, radii, bvh: BVH, tmin, tmax):
+    """Detached skip-link traversal -> (t_best, hit_id); NOT differentiable."""
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    centers = jax.lax.stop_gradient(centers)
+    radii = jax.lax.stop_gradient(radii)
     n_rays = o.shape[0]
     end = jnp.int32(bvh.n_nodes)
     inv_d = jnp.where(jnp.abs(d) > 1e-20, jnp.reciprocal(d),
@@ -296,5 +305,168 @@ def intersect_bvh(o, d, centers, radii, bvh: BVH, tmin: float = 1e-3,
     state = (jnp.zeros((n_rays,), jnp.int32), t_best0,
              jnp.full((n_rays,), -1, jnp.int32))
     node, t_best, hit_id = jax.lax.while_loop(cond, body, state)
-    t_out = jnp.where(hit_id >= 0, t_best, jnp.inf)
-    return t_out, hit_id
+    return t_best, hit_id
+
+
+def intersect_bvh(o, d, centers, radii, bvh: BVH, tmin: float = 1e-3,
+                  tmax=jnp.inf):
+    """Nearest-hit via skip-link BVH traversal; same contract as
+    ``intersect.intersect_spheres`` (t=inf / hit_id=-1 on miss).
+
+    Differentiable: the winner is found by detached traversal, then ``t``
+    is recomputed from that sphere's quadratic so gradients flow to ray and
+    scene geometry exactly as in the brute-force path.
+    """
+    _, hit_id = _traverse(o, d, centers, radii, bvh, tmin, tmax)
+    hid = jnp.maximum(hit_id, 0)
+    c = centers[hid]
+    r = radii[hid]
+    oc = c - o
+    a = jnp.sum(d * d, axis=-1)
+    b = jnp.sum(d * oc, axis=-1)
+    cterm = jnp.sum(oc * oc, axis=-1) - r * r
+    disc = b * b - a * cterm
+    pos = disc > 0.0
+    # Grazing-gradient floor (double-where); see core/intersect._quadratic_t.
+    sq = jnp.where(pos, jnp.sqrt(jnp.maximum(
+        jnp.where(pos, disc, 1.0), 1e-12)), 0.0)
+    inv_a = jnp.reciprocal(a)
+    t0 = (b - sq) * inv_a
+    t1 = (b + sq) * inv_a
+    t = jnp.where(t0 > tmin, t0, t1)
+    return jnp.where(hit_id >= 0, t, jnp.inf), hit_id
+
+
+# ---------------------------------------------------------------------------
+# SoA (component-array) traversal — the large-scene fast path.
+#
+# Same tree, same visit order, but every per-ray quantity is a separate
+# (N,) array: no (N, 3) intermediates anywhere (TPU pads a trailing 3 to
+# 128 lanes), and all node/primitive attribute fetches are 1-D gathers.
+# ---------------------------------------------------------------------------
+
+
+def _traverse_soa(ox, oy, oz, dx, dy, dz, cx, cy, cz, radii, bvh: BVH,
+                  tmin, tmax, any_hit: bool = False):
+    """Detached component-array traversal -> (t_best, hit_id).
+
+    ``any_hit=True`` terminates a lane at its first accepted hit (shadow
+    rays): hit_id is then *some* blocker, not the nearest.
+    """
+    args = [ox, oy, oz, dx, dy, dz, cx, cy, cz, radii]
+    ox, oy, oz, dx, dy, dz, cx, cy, cz, radii = [
+        jax.lax.stop_gradient(a) for a in args]
+    n_rays = ox.shape[0]
+    end = jnp.int32(bvh.n_nodes)
+    nminx, nminy, nminz = (bvh.node_min[:, 0], bvh.node_min[:, 1],
+                           bvh.node_min[:, 2])
+    nmaxx, nmaxy, nmaxz = (bvh.node_max[:, 0], bvh.node_max[:, 1],
+                           bvh.node_max[:, 2])
+
+    def safe_inv(v):
+        return jnp.where(jnp.abs(v) > 1e-20, jnp.reciprocal(v),
+                         jnp.float32(1e30) * jnp.sign(v)
+                         + jnp.float32(1e30) * (v == 0))
+
+    ivx, ivy, ivz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = jnp.reciprocal(a)
+
+    def cond(state):
+        node = state[0]
+        return jnp.any(node < end)
+
+    def body(state):
+        node, t_best, hit_id = state
+        live = node < end
+        node_c = jnp.minimum(node, end - 1)
+        # Slab test, one axis at a time (pure (N,) vector ops + gathers).
+        t0 = (nminx[node_c] - ox) * ivx
+        t1 = (nmaxx[node_c] - ox) * ivx
+        t_near = jnp.minimum(t0, t1)
+        t_far = jnp.maximum(t0, t1)
+        t0 = (nminy[node_c] - oy) * ivy
+        t1 = (nmaxy[node_c] - oy) * ivy
+        t_near = jnp.maximum(t_near, jnp.minimum(t0, t1))
+        t_far = jnp.minimum(t_far, jnp.maximum(t0, t1))
+        t0 = (nminz[node_c] - oz) * ivz
+        t1 = (nmaxz[node_c] - oz) * ivz
+        t_near = jnp.maximum(t_near, jnp.minimum(t0, t1))
+        t_far = jnp.minimum(t_far, jnp.maximum(t0, t1))
+        hit_box = (t_near <= t_far) & (t_far > tmin) & (t_near < t_best) & live
+
+        count = bvh.node_count[node_c]
+        first = bvh.node_first[node_c]
+        is_leaf = count > 0
+        do_leaf = hit_box & is_leaf
+        for k in range(bvh.max_leaf):
+            slot = jnp.minimum(first + k, bvh.prim_idx.shape[0] - 1)
+            pid = bvh.prim_idx[slot]
+            ocx = cx[pid] - ox
+            ocy = cy[pid] - oy
+            ocz = cz[pid] - oz
+            r = radii[pid]
+            b = dx * ocx + dy * ocy + dz * ocz
+            cterm = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = b * b - a * cterm
+            pos = disc > 0.0
+            sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+            t0p = (b - sq) * inv_a
+            t1p = (b + sq) * inv_a
+            tp = jnp.where(t0p > tmin, t0p, t1p)
+            ok = do_leaf & (k < count) & pos & (tp > tmin) & (tp < t_best)
+            t_best = jnp.where(ok, tp, t_best)
+            hit_id = jnp.where(ok, pid, hit_id)
+
+        descend = hit_box & ~is_leaf
+        nxt = jnp.where(descend, node_c + 1, bvh.node_skip[node_c])
+        if any_hit:
+            nxt = jnp.where(hit_id >= 0, end, nxt)  # lane done at first hit
+        node = jnp.where(live, nxt, node)
+        return node, t_best, hit_id
+
+    t_best0 = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n_rays,))
+    state = (jnp.zeros((n_rays,), jnp.int32), t_best0,
+             jnp.full((n_rays,), -1, jnp.int32))
+    _, t_best, hit_id = jax.lax.while_loop(cond, body, state)
+    return t_best, hit_id
+
+
+def intersect_bvh_soa(ox, oy, oz, dx, dy, dz, cx, cy, cz, radii, bvh: BVH,
+                      tmin: float = 1e-3, tmax=jnp.inf):
+    """SoA nearest-hit: component-array inputs, differentiable t.
+
+    Returns (t, hit_id) with t=inf / hit_id=-1 on miss.  ``cx, cy, cz,
+    radii`` are the full (P,) primitive component arrays.
+    """
+    _, hit_id = _traverse_soa(ox, oy, oz, dx, dy, dz, cx, cy, cz, radii,
+                              bvh, tmin, tmax)
+    hid = jnp.maximum(hit_id, 0)
+    ocx = cx[hid] - ox
+    ocy = cy[hid] - oy
+    ocz = cz[hid] - oz
+    r = radii[hid]
+    a = dx * dx + dy * dy + dz * dz
+    b = dx * ocx + dy * ocy + dz * ocz
+    cterm = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+    disc = b * b - a * cterm
+    pos = disc > 0.0
+    sq = jnp.where(pos, jnp.sqrt(jnp.maximum(
+        jnp.where(pos, disc, 1.0), 1e-12)), 0.0)
+    inv_a = jnp.reciprocal(a)
+    t0 = (b - sq) * inv_a
+    t1 = (b + sq) * inv_a
+    t = jnp.where(t0 > tmin, t0, t1)
+    return jnp.where(hit_id >= 0, t, jnp.inf), hit_id
+
+
+def occluded_bvh_soa(ox, oy, oz, dx, dy, dz, cx, cy, cz, radii, bvh: BVH,
+                     tmax, tmin: float = 1e-3):
+    """SoA any-hit shadow test: True where something blocks (tmin, tmax).
+
+    Early-out per lane (first accepted hit ends its traversal).  Occlusion
+    is a discrete visibility decision — the result carries no gradient.
+    """
+    _, hit_id = _traverse_soa(ox, oy, oz, dx, dy, dz, cx, cy, cz, radii,
+                              bvh, tmin, tmax, any_hit=True)
+    return hit_id >= 0

@@ -83,13 +83,15 @@ def make_render_fn(scene: SceneData, camera, width: int, height: int, *,
     accept boundaries depend on throughput and would add gradient
     discontinuities for no variance benefit at optimization depths.
 
-    Uses the SoA fast-path integrator for Cornell-class scenes (its layout
-    keeps AD residuals O(N) on TPU); falls back to the AoS+BVH integrator
-    for larger scenes.
+    Uses the SoA fast-path integrator everywhere its layout applies (it
+    keeps AD residuals O(N) on TPU): static-unroll mode for Cornell-class
+    scenes, gather+BVH mode for large ones.  Mid-size scenes compiled
+    without a BVH fall back to the AoS brute-force integrator.
     """
     from ..engine import integrator_soa
-    use_soa = scene.capacity <= integrator_soa.SOA_MAX_PRIMS
-    mtypes = integrator_soa.static_mtypes(scene) if use_soa else None
+    small = scene.capacity <= integrator_soa.SOA_MAX_PRIMS
+    use_soa = small or scene.bvh is not None
+    mtypes = integrator_soa.static_mtypes(scene) if small else None
 
     def render(params, sample_ids):
         sc = apply_params(scene, params)

@@ -107,12 +107,16 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
     """(H, W, 3) radiance sum over sample_ids — SoA fast path.
 
     ``mtypes``: static per-sphere material-type tuple (``static_mtypes``);
-    required under jit (the scene arg is traced there).
+    required under jit (the scene arg is traced there).  Scenes larger than
+    ``SOA_MAX_PRIMS`` switch from the static per-sphere unroll to gather-
+    based attribute fetch + skip-link BVH traversal (``mtypes`` unused);
+    they must be compiled with a BVH.
     """
-    if scene.capacity > SOA_MAX_PRIMS:
-        raise ValueError(f"SoA integrator supports ≤{SOA_MAX_PRIMS} prims; "
-                         f"scene capacity is {scene.capacity}")
-    if mtypes is None:
+    big = scene.capacity > SOA_MAX_PRIMS
+    if big and scene.bvh is None:
+        raise ValueError(f"scenes over {SOA_MAX_PRIMS} prims need a BVH; "
+                         f"compile with use_bvh=True")
+    if mtypes is None and not big:
         mtypes = static_mtypes(scene)
     if full_height is None:
         full_height = height
@@ -159,6 +163,42 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
             return rgb[..., 0], rgb[..., 1], rgb[..., 2]
         z = jnp.zeros_like(dx)
         return z, z, z
+
+    # Primitive component arrays for the gather-based large-scene path.
+    cx_a = scene.centers[:, 0]
+    cy_a = scene.centers[:, 1]
+    cz_a = scene.centers[:, 2]
+    r_a = scene.radii
+
+    def intersect_all_bvh(ox, oy, oz, dx, dy, dz):
+        """Large-scene nearest hit: SoA BVH traversal + differentiable
+        attribute gathers (winner id is discrete; t and attrs carry grads)."""
+        from ..core.bvh import intersect_bvh_soa
+        t, hit_id = intersect_bvh_soa(ox, oy, oz, dx, dy, dz,
+                                      cx_a, cy_a, cz_a, r_a, scene.bvh,
+                                      tmin=TMIN)
+        found = hit_id >= 0
+        hid = jnp.maximum(hit_id, 0)
+        m = scene.mat_id[hid]
+        fz = lambda v: jnp.where(found, v, 0.0)
+        h = dict(cx=fz(cx_a[hid]), cy=fz(cy_a[hid]), cz=fz(cz_a[hid]),
+                 r=fz(r_a[hid]),
+                 ar=fz(alb[m, 0]), ag=fz(alb[m, 1]), ab=fz(alb[m, 2]),
+                 er=fz(emi[m, 0]), eg=fz(emi[m, 1]), eb=fz(emi[m, 2]),
+                 rough=fz(rough_t[m]),
+                 ior=jnp.where(found, ior_t[m], 1.5))
+        mt = scene.materials.mtype[m]
+        m_lam = found & (mt == LAMBERT)
+        m_met = found & (mt == METAL)
+        m_die = found & (mt == DIELECTRIC)
+        t_best = jnp.where(found, t, BIG)
+        return t_best, h, m_lam, m_met, m_die
+
+    def occluded_before_bvh(ox, oy, oz, dx, dy, dz, tmax):
+        from ..core.bvh import occluded_bvh_soa
+        return occluded_bvh_soa(ox, oy, oz, dx, dy, dz,
+                                cx_a, cy_a, cz_a, r_a, scene.bvh,
+                                jnp.maximum(tmax, 0.0), tmin=TMIN)
 
     def intersect_all(ox, oy, oz, dx, dy, dz):
         t_best = jnp.full((n_px,), BIG, jnp.float32)
@@ -210,6 +250,10 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
             blocked = blocked | (pos & (tj > TMIN) & (tj < tmax))
         # Occlusion is a discrete visibility decision — detach it.
         return jax.lax.stop_gradient(blocked)
+
+    if big:  # gather+BVH path replaces the static per-sphere unroll
+        intersect_all = intersect_all_bvh
+        occluded_before = occluded_before_bvh
 
     cam_px, cam_py, cam_pz = camera.position[0], camera.position[1], camera.position[2]
     cam_rx, cam_ry, cam_rz = camera.right[0], camera.right[1], camera.right[2]
@@ -387,20 +431,31 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
                     pid, sid_b, k.astype(jnp.uint32) * _NDIMS + _DIM_LU2, seed_u)
                 nlf = jnp.float32(nl)
                 li = jnp.minimum((ul * nlf).astype(jnp.int32), nl - 1)
-                zero = jnp.zeros((n_px,), jnp.float32)
-                lcx, lcy, lcz, lrr = zero, zero, zero, zero
-                ler, leg, leb = zero, zero, zero
-                for l in range(min(n_light_slots, nl)):
-                    lp = scene.light_idx[l]
-                    sel = li == l
-                    lm = scene.mat_id[lp]
-                    lcx = jnp.where(sel, scene.centers[lp, 0], lcx)
-                    lcy = jnp.where(sel, scene.centers[lp, 1], lcy)
-                    lcz = jnp.where(sel, scene.centers[lp, 2], lcz)
-                    lrr = jnp.where(sel, scene.radii[lp], lrr)
-                    ler = jnp.where(sel, emi[lm, 0], ler)
-                    leg = jnp.where(sel, emi[lm, 1], leg)
-                    leb = jnp.where(sel, emi[lm, 2], leb)
+                if big:  # gather-based light fetch (many emitters possible)
+                    lp_g = scene.light_idx[li]
+                    lm_g = scene.mat_id[lp_g]
+                    lcx = cx_a[lp_g]
+                    lcy = cy_a[lp_g]
+                    lcz = cz_a[lp_g]
+                    lrr = r_a[lp_g]
+                    ler = emi[lm_g, 0]
+                    leg = emi[lm_g, 1]
+                    leb = emi[lm_g, 2]
+                else:
+                    zero = jnp.zeros((n_px,), jnp.float32)
+                    lcx, lcy, lcz, lrr = zero, zero, zero, zero
+                    ler, leg, leb = zero, zero, zero
+                    for l in range(min(n_light_slots, nl)):
+                        lp = scene.light_idx[l]
+                        sel = li == l
+                        lm = scene.mat_id[lp]
+                        lcx = jnp.where(sel, scene.centers[lp, 0], lcx)
+                        lcy = jnp.where(sel, scene.centers[lp, 1], lcy)
+                        lcz = jnp.where(sel, scene.centers[lp, 2], lcz)
+                        lrr = jnp.where(sel, scene.radii[lp], lrr)
+                        ler = jnp.where(sel, emi[lm, 0], ler)
+                        leg = jnp.where(sel, emi[lm, 1], leg)
+                        leb = jnp.where(sel, emi[lm, 2], leb)
                 pox = hx + EPS * nsx
                 poy = hy + EPS * nsy
                 poz = hz + EPS * nsz
