@@ -319,6 +319,7 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
                       unroll: bool = False, row_offset=0,
                       full_height: int = None,
                       intersect_fn=None, occluded_fn=None,
+                      gather_prim_fn=None, gather_light_fn=None,
                       with_stats: bool = False):
     """Trace ``len(sample_ids)`` full samples per pixel; return summed radiance.
 
@@ -331,7 +332,9 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
     camera NDC, so a row-sharded render is bitwise identical to the
     single-device one; ``intersect_fn``/``occluded_fn`` override scene
     intersection (e.g. primitive-sharded intersection with cross-device
-    min-reduction).
+    min-reduction); ``gather_prim_fn(hid)`` / ``gather_light_fn(prim)``
+    override primitive-attribute fetch by global id -> (centers, radii,
+    mat_id), so sharded geometry never needs to be replicated.
     """
     if full_height is None:
         full_height = height
@@ -339,6 +342,11 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
         intersect_fn = lambda o, d: scene_intersect(scene, o, d)
     if occluded_fn is None:
         occluded_fn = lambda o, d, tmax: scene_occluded(scene, o, d, tmax)
+    if gather_prim_fn is None:
+        gather_prim_fn = lambda ids: (scene.centers[ids], scene.radii[ids],
+                                      scene.mat_id[ids])
+    if gather_light_fn is None:
+        gather_light_fn = gather_prim_fn
     n_px = height * width
     px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.uint32)[None, :], (height, width)).reshape(-1)
     py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.uint32)[:, None], (height, width)).reshape(-1)
@@ -384,9 +392,7 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
             hid = jnp.maximum(hit_id, 0)
             t_safe = jnp.where(hit, t, 1.0)[:, None]
             p = o + t_safe * d
-            c_hit = scene.centers[hid]
-            r_hit = scene.radii[hid]
-            mat_hit = scene.mat_id[hid]
+            c_hit, r_hit, mat_hit = gather_prim_fn(hid)
             n_g = intersect.sphere_normal(p, c_hit)
             wo = -d
 
@@ -420,8 +426,7 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
                 lu2 = _u(pixel_id, sid_b, ku, _DIM_LU2, seed_u)
                 l_slot = jnp.minimum((ul_sel * nl).astype(jnp.int32), nl - 1)
                 l_prim = scene.light_idx[l_slot]
-                lc = scene.centers[l_prim]
-                lr = scene.radii[l_prim]
+                lc, lr, l_mat = gather_light_fn(l_prim)
                 p_off = p + EPS_OFFSET * ns
                 ldir, pdf_l, inside_l = sampling.sample_sphere_cone(
                     p_off, lc, lr, lu1, lu2)
@@ -437,7 +442,7 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
                 blocked = occluded_fn(p_off, ldir, t_l - jnp.float32(1e-3))
                 lit = ~blocked & ~inside_l & (t_l > intersect.TMIN)
                 fcos, pdf_b_at_l = _eval_bsdf(scene, ns, wo, ldir, mat_hit)
-                _, l_emission, _, _, _ = scene.materials.gather(scene.mat_id[l_prim])
+                _, l_emission, _, _, _ = scene.materials.gather(l_mat)
                 w_nee = sampling.power_heuristic(pdf_l, pdf_b_at_l) if use_mis \
                     else jnp.ones((n_px,), jnp.float32)
                 contrib = throughput * fcos * l_emission \

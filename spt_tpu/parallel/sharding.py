@@ -160,28 +160,27 @@ def render_prim_sharded(scene: SceneData, camera, width: int, height: int,
                 scene_shard.prim_valid, tmax)
             return jax.lax.pmax(blocked.astype(jnp.int32), "prim") > 0
 
-        # The integrator gathers winning-prim attributes via global indices
-        # into the *full* arrays; device-local shards can't serve that, so we
-        # reconstruct full arrays with an all-gather over the prim axis.
-        # (Attribute tables -- materials -- stay replicated; only geometry
-        # arrays are sharded, so this all-gather is the per-bounce ring pass
-        # of config 5.)
-        full_centers = jax.lax.all_gather(
-            scene_shard.centers, "prim", tiled=True)
-        full_radii = jax.lax.all_gather(scene_shard.radii, "prim", tiled=True)
-        full_mat = jax.lax.all_gather(scene_shard.mat_id, "prim", tiled=True)
-        full_valid = jax.lax.all_gather(scene_shard.prim_valid, "prim",
-                                        tiled=True)
-        scene_full_attrs = dataclasses.replace(
-            scene_shard, centers=full_centers, radii=full_radii,
-            mat_id=full_mat, prim_valid=full_valid)
+        def gather_prim(ids):
+            """Attribute fetch by *global* prim id: each device contributes
+            the rows it owns, a one-hot psum broadcasts the winner — scene
+            geometry is never replicated, traffic is O(rays) per bounce
+            regardless of scene size (the ring-pass of config 5)."""
+            local = ids - my_prim * shard_cap
+            mine = (local >= 0) & (local < shard_cap)
+            lidx = jnp.clip(local, 0, shard_cap - 1)
+            c = jnp.where(mine[:, None], scene_shard.centers[lidx], 0.0)
+            r = jnp.where(mine, scene_shard.radii[lidx], 0.0)
+            m = jnp.where(mine, scene_shard.mat_id[lidx], 0)
+            return (jax.lax.psum(c, "prim"), jax.lax.psum(r, "prim"),
+                    jax.lax.psum(m, "prim"))
 
         # Rows additionally sharded over 'data'.
         h_loc = height // n_data
         img = integrator_jax.render_megasample(
-            scene_full_attrs, camera_rep, width, h_loc, sample_ids,
+            scene_shard, camera_rep, width, h_loc, sample_ids,
             row_offset=data_idx * h_loc, full_height=height,
             intersect_fn=sharded_intersect, occluded_fn=sharded_occluded,
+            gather_prim_fn=gather_prim, gather_light_fn=gather_prim,
             **kw)
         return img
 
