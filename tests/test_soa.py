@@ -69,7 +69,7 @@ def test_soa_rejects_oversized_scene():
     for i in range(SOA_MAX_PRIMS + 1):
         scene.create_sphere(f"s{i}", (0, 0, 5 + i), 0.1, m)
     sd = scene.compile(use_bvh=False)
-    with pytest.raises(ValueError, match="SoA integrator"):
+    with pytest.raises(ValueError, match="need a BVH"):
         render_megasample_soa(sd, CAM, 8, 8, jnp.arange(1))
 
 
