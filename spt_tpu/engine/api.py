@@ -190,22 +190,29 @@ class JaxPathTracer(PathTracerBase):
             return out
 
         camera = self._camera or self._default_camera()
-        key = ("full", s.static_key(), s.seed, bool(s.progressive))
+        dof = camera_has_dof(camera)
+        key = ("full", s.static_key(), s.seed, bool(s.progressive), dof)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = jax.jit(partial_megasample(s))
+            fn = jax.jit(partial_megasample(s, dof=dof))
             self._fn_cache[key] = fn
         sample_ids = jnp.arange(start_sample, start_sample + spp)
         return fn(self._scene_data, camera, sample_ids)
 
 
-def partial_megasample(s: RenderSettings):
+def camera_has_dof(camera) -> bool:
+    """Thin-lens iff the camera has a real aperture (host-known value)."""
+    ap = getattr(camera, "aperture", None)
+    return ap is not None and float(ap) > 0.0
+
+
+def partial_megasample(s: RenderSettings, dof: bool = False):
     """Bind static settings into the megasample integrator."""
     def fn(scene_data, camera, sample_ids):
         return integrator_jax.render_megasample(
             scene_data, camera, s.width, s.height, sample_ids,
             max_bounces=s.max_bounces, rr_depth=s.russian_roulette_depth,
-            use_nee=s.use_nee, use_mis=s.use_mis, seed=s.seed)
+            use_nee=s.use_nee, use_mis=s.use_mis, seed=s.seed, dof=dof)
     return fn
 
 

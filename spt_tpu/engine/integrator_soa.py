@@ -103,7 +103,8 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
                           max_bounces: int = 8, rr_depth: int = 3,
                           use_nee: bool = True, use_mis: bool = True,
                           seed: int = 0, row_offset=0,
-                          full_height: int = None, with_stats: bool = False):
+                          full_height: int = None, with_stats: bool = False,
+                          dof: bool = False):
     """(H, W, 3) radiance sum over sample_ids — SoA fast path.
 
     ``mtypes``: static per-sphere material-type tuple (``static_mtypes``);
@@ -275,7 +276,26 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
         dz = ndc_x * cam_rz + ndc_y * cam_uz + cam_fz
         dx, dy, dz = _normalize(dx, dy, dz)
         ones = jnp.ones((n_px,), jnp.float32)
-        state = (ones * cam_px, ones * cam_py, ones * cam_pz,  # o
+        ox, oy, oz = ones * cam_px, ones * cam_py, ones * cam_pz
+        if dof:
+            # Thin-lens: same math + RNG dims (_CAM_SLOT+2/3) as
+            # Camera.generate_rays and the Pallas megakernel raygen.
+            lu = rng.counter_uniform(pid, sid_b, jnp.uint32(_CAM_SLOT + 2),
+                                     seed_u)
+            lv = rng.counter_uniform(pid, sid_b, jnp.uint32(_CAM_SLOT + 3),
+                                     seed_u)
+            r = camera.aperture * jnp.sqrt(lu)
+            phi = jnp.float32(2.0 * np.pi) * lv
+            cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+            offx = r * (cphi * cam_rx + sphi * cam_ux)
+            offy = r * (cphi * cam_ry + sphi * cam_uy)
+            offz = r * (cphi * cam_rz + sphi * cam_uz)
+            denom = jnp.maximum(dx * cam_fx + dy * cam_fy + dz * cam_fz, 1e-6)
+            tf = camera.focus_dist / denom
+            fx, fy, fz = ox + dx * tf, oy + dy * tf, oz + dz * tf
+            ox, oy, oz = ox + offx, oy + offy, oz + offz
+            dx, dy, dz = _normalize(fx - ox, fy - oy, fz - oz)
+        state = (ox, oy, oz,                                   # o
                  dx, dy, dz,                                   # d
                  ones, ones, ones,                             # throughput
                  jnp.zeros((n_px,), jnp.float32),              # rad r

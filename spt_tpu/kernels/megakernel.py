@@ -59,9 +59,10 @@ EPS = 1e-4
 BIG = 1e30
 
 # blob layout ---------------------------------------------------------------
-_CAM_OFF = 0          # pos3, right3, up3, fwd3, tan_half_fov -> 13
-_SKY_OFF = 13         # horizon3, zenith3 -> 6
-_SPH_OFF = 19         # per sphere: cx,cy,cz,r, ar,ag,ab, er,eg,eb, rough,ior
+_CAM_OFF = 0          # pos3, right3, up3, fwd3, tan_half_fov, aperture,
+                      # focus_dist -> 15
+_SKY_OFF = 15         # horizon3, zenith3 -> 6
+_SPH_OFF = 21         # per sphere: cx,cy,cz,r, ar,ag,ab, er,eg,eb, rough,ior
 _SPH_STRIDE = 12
 # meta layout: [start_sample, seed, n_lights, mtype*P, light_prim*L]
 _META_FIXED = 3
@@ -87,7 +88,9 @@ def pack_blob_jnp(scene: SceneData, camera):
     parameters stay differentiable through the packing."""
     cam = jnp.concatenate([
         camera.position, camera.right, camera.up, camera.forward,
-        jnp.reshape(camera.tan_half_fov, (1,))])
+        jnp.reshape(camera.tan_half_fov, (1,)),
+        jnp.reshape(camera.aperture, (1,)),
+        jnp.reshape(camera.focus_dist, (1,))])
     sky = scene.sky_params.reshape(-1)
     valid = scene.prim_valid.astype(jnp.float32)[:, None]
     alb = scene.materials.albedo[scene.mat_id]
@@ -110,6 +113,8 @@ def pack_scene(scene: SceneData, camera) -> tuple[np.ndarray, list[int], int]:
     blob[6:9] = np.asarray(camera.up)
     blob[9:12] = np.asarray(camera.forward)
     blob[12] = float(camera.tan_half_fov)
+    blob[13] = float(getattr(camera, "aperture", 0.0))
+    blob[14] = float(getattr(camera, "focus_dist", 1.0))
     blob[_SKY_OFF:_SKY_OFF + 3] = np.asarray(scene.sky_params[0])
     blob[_SKY_OFF + 3:_SKY_OFF + 6] = np.asarray(scene.sky_params[1])
     centers = np.asarray(scene.centers)
@@ -187,7 +192,8 @@ def _fresnel_dielectric(cos_i, eta_ti):
 
 
 def _kernel(meta_ref, blob_ref, out_ref, *, n_prims, n_light_slots, mtypes,
-            width, height, max_bounces, rr_depth, use_nee, use_mis, sky_mode):
+            width, height, max_bounces, rr_depth, use_nee, use_mis, sky_mode,
+            dof):
     from . import physics
     tile = pl.program_id(0)
     s_idx = pl.program_id(1)
@@ -234,6 +240,24 @@ def _kernel(meta_ref, blob_ref, out_ref, *, n_prims, n_light_slots, mtypes,
     ox = jnp.full_like(dx, blob_ref[0])
     oy = jnp.full_like(dx, blob_ref[1])
     oz = jnp.full_like(dx, blob_ref[2])
+    if dof:
+        # Thin-lens: jitter origin on the lens disk, refocus on the focal
+        # plane (same math + RNG dims as Camera.generate_rays + the pure-JAX
+        # integrator, so streams and images stay in parity).
+        lu = rng.counter_uniform(pid, sample, jnp.uint32(_CAM_SLOT + 2), seed)
+        lv = rng.counter_uniform(pid, sample, jnp.uint32(_CAM_SLOT + 3), seed)
+        r = blob_ref[13] * jnp.sqrt(lu)
+        phi = jnp.float32(2.0 * math.pi) * lv
+        cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+        offx = r * (cphi * blob_ref[3] + sphi * blob_ref[6])
+        offy = r * (cphi * blob_ref[4] + sphi * blob_ref[7])
+        offz = r * (cphi * blob_ref[5] + sphi * blob_ref[8])
+        denom = jnp.maximum(
+            dx * blob_ref[9] + dy * blob_ref[10] + dz * blob_ref[11], 1e-6)
+        tf = blob_ref[14] / denom
+        fx, fy, fz = ox + dx * tf, oy + dy * tf, oz + dz * tf
+        ox, oy, oz = ox + offx, oy + offy, oz + offz
+        dx, dy, dz = _normalize(fx - ox, fy - oy, fz - oz)
 
     ones = jnp.ones_like(dx)
     zero = jnp.zeros_like(dx)
@@ -273,17 +297,17 @@ def _kernel(meta_ref, blob_ref, out_ref, *, n_prims, n_light_slots, mtypes,
     jax.jit,
     static_argnames=("width", "height", "spp", "n_prims", "n_light_slots",
                      "mtypes", "max_bounces", "rr_depth", "use_nee",
-                     "use_mis", "sky_mode", "interpret"))
+                     "use_mis", "sky_mode", "dof", "interpret"))
 def _launch(blob, meta, *, width, height, spp, n_prims, n_light_slots,
             mtypes, max_bounces, rr_depth, use_nee, use_mis, sky_mode,
-            interpret=False):
+            dof=False, interpret=False):
     n_pix = width * height
     n_tiles = pl.cdiv(n_pix, TILE)
     kernel = functools.partial(
         _kernel, n_prims=n_prims, n_light_slots=n_light_slots,
         mtypes=mtypes, width=width, height=height, max_bounces=max_bounces,
         rr_depth=rr_depth, use_nee=use_nee, use_mis=use_mis,
-        sky_mode=sky_mode)
+        sky_mode=sky_mode, dof=dof)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles, spp),
@@ -306,7 +330,8 @@ def _launch(blob, meta, *, width, height, spp, n_prims, n_light_slots,
 
 def render_tiles(scene: SceneData, camera, width: int, height: int,
                  start_sample: int, spp: int, *, max_bounces=8, rr_depth=3,
-                 use_nee=True, use_mis=True, seed=0, interpret=False):
+                 use_nee=True, use_mis=True, seed=0, dof=None,
+                 interpret=False):
     """Render ``spp`` samples with the megakernel; returns (H,W,3) radiance sum.
 
     Matches ``integrator_jax.render_megasample(..., sample_ids=
@@ -314,6 +339,8 @@ def render_tiles(scene: SceneData, camera, width: int, height: int,
     same estimators); differs only in float op ordering.
     """
     blob, mtypes, light_prims = pack_scene(scene, camera)
+    if dof is None:  # auto: thin-lens iff the camera has a real aperture
+        dof = bool(blob[13] > 0.0)
     n_prims = scene.capacity
     meta = np.zeros(_META_FIXED + n_prims + max(len(light_prims), 1), np.int32)
     meta[0] = start_sample
@@ -329,4 +356,4 @@ def render_tiles(scene: SceneData, camera, width: int, height: int,
         n_light_slots=len(light_prims), mtypes=tuple(mtypes),
         max_bounces=max_bounces, rr_depth=rr_depth,
         use_nee=bool(use_nee), use_mis=bool(use_mis),
-        sky_mode=scene.sky_mode, interpret=interpret)
+        sky_mode=scene.sky_mode, dof=bool(dof), interpret=interpret)

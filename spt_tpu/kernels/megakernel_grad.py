@@ -27,6 +27,7 @@ The result is verified against ``jax.grad`` of the SoA integrator
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +63,7 @@ def _read_theta(meta_ref, blob_ref, n_prims, n_light_slots):
     return (spheres, sky, tuple(lights)), light_prims
 
 
-def _raygen(blob_ref, pid, px, py, sample, seed, width, height):
+def _raygen(blob_ref, pid, px, py, sample, seed, width, height, dof=False):
     jx = rng.counter_uniform(pid, sample, jnp.uint32(_CAM_SLOT + 0), seed)
     jy = rng.counter_uniform(pid, sample, jnp.uint32(_CAM_SLOT + 1), seed)
     aspect = jnp.float32(width / height)
@@ -78,6 +79,21 @@ def _raygen(blob_ref, pid, px, py, sample, seed, width, height):
     ox = jnp.full_like(dx, blob_ref[0])
     oy = jnp.full_like(dx, blob_ref[1])
     oz = jnp.full_like(dx, blob_ref[2])
+    if dof:  # thin-lens, same math/RNG dims as megakernel._kernel
+        lu = rng.counter_uniform(pid, sample, jnp.uint32(_CAM_SLOT + 2), seed)
+        lv = rng.counter_uniform(pid, sample, jnp.uint32(_CAM_SLOT + 3), seed)
+        r = blob_ref[13] * jnp.sqrt(lu)
+        phi = jnp.float32(2.0 * math.pi) * lv
+        cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+        offx = r * (cphi * blob_ref[3] + sphi * blob_ref[6])
+        offy = r * (cphi * blob_ref[4] + sphi * blob_ref[7])
+        offz = r * (cphi * blob_ref[5] + sphi * blob_ref[8])
+        denom = jnp.maximum(
+            dx * blob_ref[9] + dy * blob_ref[10] + dz * blob_ref[11], 1e-6)
+        tf = blob_ref[14] / denom
+        fx, fy, fz = ox + dx * tf, oy + dy * tf, oz + dz * tf
+        ox, oy, oz = ox + offx, oy + offy, oz + offz
+        dx, dy, dz = physics._normalize(fx - ox, fy - oy, fz - oz)
     return ox, oy, oz, dx, dy, dz
 
 
@@ -92,7 +108,8 @@ def _uniforms(pid, sample, seed, k):
 
 def _kernel_grad(meta_ref, blob_ref, ct_ref, rad_ref, grad_ref,
                  st_scr, aux_scr, *, n_prims, n_light_slots, mtypes, width,
-                 height, max_bounces, rr_depth, use_nee, use_mis, sky_mode):
+                 height, max_bounces, rr_depth, use_nee, use_mis, sky_mode,
+                 dof):
     tile = pl.program_id(0)
     s_idx = pl.program_id(1)
     start_sample = meta_ref[0]
@@ -114,7 +131,7 @@ def _kernel_grad(meta_ref, blob_ref, ct_ref, rad_ref, grad_ref,
                                      n_light_slots)
 
     ox, oy, oz, dx, dy, dz = _raygen(blob_ref, pid, px, py, sample, seed,
-                                     width, height)
+                                     width, height, dof=dof)
     ones = jnp.ones_like(dx)
     zero = jnp.zeros_like(dx)
     state = (ox, oy, oz, dx, dy, dz, ones, ones, ones, zero, zero, zero, zero)
@@ -208,17 +225,17 @@ def _kernel_grad(meta_ref, blob_ref, ct_ref, rad_ref, grad_ref,
     jax.jit,
     static_argnames=("width", "height", "spp", "n_prims", "n_light_slots",
                      "mtypes", "max_bounces", "rr_depth", "use_nee",
-                     "use_mis", "sky_mode", "interpret"))
+                     "use_mis", "sky_mode", "dof", "interpret"))
 def _launch_grad(blob, meta, ct, *, width, height, spp, n_prims,
                  n_light_slots, mtypes, max_bounces, rr_depth, use_nee,
-                 use_mis, sky_mode, interpret=False):
+                 use_mis, sky_mode, dof=False, interpret=False):
     n_pix = width * height
     n_tiles = pl.cdiv(n_pix, TILE)
     kernel = functools.partial(
         _kernel_grad, n_prims=n_prims, n_light_slots=n_light_slots,
         mtypes=mtypes, width=width, height=height, max_bounces=max_bounces,
         rr_depth=rr_depth, use_nee=use_nee, use_mis=use_mis,
-        sky_mode=sky_mode)
+        sky_mode=sky_mode, dof=dof)
     n_grad = n_prims * physics.N_SPHERE_ATTRS + physics.N_SKY_ATTRS
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -255,7 +272,7 @@ def _launch_grad(blob, meta, ct, *, width, height, spp, n_prims,
 
 def render_and_grad(scene, camera, width, height, start_sample, spp, *,
                     ct_image=None, max_bounces=8, rr_depth=3, use_nee=True,
-                    use_mis=True, seed=0, interpret=False):
+                    use_mis=True, seed=0, dof=None, interpret=False):
     """Fused fwd+bwd: returns (radiance_sum_image, grads).
 
     grads: dict with 'centers' (P,3), 'radii' (P,), 'albedo'/'emission'
@@ -263,6 +280,8 @@ def render_and_grad(scene, camera, width, height, start_sample, spp, *,
     ``sum(ct_image ⊙ radiance_sum)`` (ct defaults to ones).
     """
     blob, mtypes, light_prims = pack_scene(scene, camera)
+    if dof is None:  # auto: thin-lens iff the camera has a real aperture
+        dof = bool(blob[13] > 0.0)
     n_prims = scene.capacity
     meta = np.zeros(_META_FIXED + n_prims + max(len(light_prims), 1),
                     np.int32)
@@ -289,7 +308,8 @@ def render_and_grad(scene, camera, width, height, start_sample, spp, *,
         width=width, height=height, spp=spp, n_prims=n_prims,
         n_light_slots=len(light_prims), mtypes=tuple(mtypes),
         max_bounces=max_bounces, rr_depth=rr_depth, use_nee=bool(use_nee),
-        use_mis=bool(use_mis), sky_mode=scene.sky_mode, interpret=interpret)
+        use_mis=bool(use_mis), sky_mode=scene.sky_mode, dof=bool(dof),
+        interpret=interpret)
 
     # Unflatten: per-sphere rows -> scene arrays; material attrs aggregate
     # over the spheres sharing each material row.

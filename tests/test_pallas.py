@@ -109,3 +109,56 @@ def test_pallas_backend_via_factory():
     tracer.render()
     img = np.asarray(tracer.get_render_result().image_f32)
     assert np.isfinite(img).all() and img.max() > 0.05
+
+
+def test_megakernel_dof_matches_jax_integrator():
+    """Thin-lens raygen (aperture > 0) agrees across jax / SoA / pallas."""
+    from spt_tpu.engine.integrator_soa import render_megasample_soa
+
+    sd = _cornell().compile()
+    cam = Camera.look_at((0, 1.0, -1.5), (0, 1.0, 3.0), fov_degrees=55,
+                         aperture=0.15, focus_dist=4.5)
+    W = H = 32
+    kw = dict(max_bounces=3, rr_depth=2, use_nee=True, use_mis=True, seed=7)
+    spp = 4
+    img_jax = np.asarray(render_megasample(
+        sd, cam, W, H, jnp.arange(spp), dof=True, **kw))
+    img_soa = np.asarray(render_megasample_soa(
+        sd, cam, W, H, jnp.arange(spp), dof=True, **kw))
+    img_pal = np.asarray(megakernel.render_tiles(
+        sd, cam, W, H, 0, spp, interpret=True, **kw))  # dof auto-detected
+
+    for name, img in [("soa", img_soa), ("pallas", img_pal)]:
+        assert np.isfinite(img).all(), name
+        close = np.isclose(img, img_jax, rtol=2e-3, atol=2e-4).all(axis=-1)
+        assert close.mean() > 0.97, f"{name}: {(~close).sum()} px diverge"
+
+    # DoF must actually blur: pinhole and thin-lens images differ.
+    img_pin = np.asarray(megakernel.render_tiles(
+        sd, cam, W, H, 0, spp, dof=False, interpret=True, **kw))
+    assert np.abs(img_pin - img_pal).max() > 1e-3
+
+
+def test_engine_auto_dof():
+    """The facade enables thin-lens when the camera has an aperture."""
+    tracer = create_path_tracer("jax")
+    scene = Scene()
+    m = scene.add_material("lambert", albedo=(0.7, 0.7, 0.7))
+    scene.create_sphere("s", (0.0, 0.0, 5.0), 1.0, m)
+    scene.create_sphere("ground", (0.0, -101.0, 5.0), 100.0, m)
+    tracer.set_scene(scene)
+    s = RenderSettings()
+    s.set_resolution(24, 24)
+    s.samples_per_pixel = 4
+    tracer.set_settings(s)
+    cam_pin = Camera.look_at((0, 0, 0), (0, 0, 5), fov_degrees=60)
+    tracer.set_camera(cam_pin)
+    tracer.render(spp=4)
+    img_pin = np.asarray(tracer.get_render_result().image_f32)
+    cam_dof = Camera.look_at((0, 0, 0), (0, 0, 5), fov_degrees=60,
+                             aperture=0.3)
+    tracer.set_camera(cam_dof)
+    tracer.render(spp=4)
+    img_dof = np.asarray(tracer.get_render_result().image_f32)
+    assert np.isfinite(img_dof).all()
+    assert np.abs(img_dof - img_pin).max() > 1e-3
