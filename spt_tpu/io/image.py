@@ -24,8 +24,18 @@ def to_uint8(img) -> np.ndarray:
 
 
 def write_png(path: str, img) -> None:
-    """Write (H,W,3) image (float [0,1] or uint8) as PNG."""
+    """Write (H,W,3) image (float [0,1] or uint8) as PNG.
+
+    Encoder preference: native C++ (native/display.cpp, the display-bridge
+    analog of the reference's SDL texture upload) -> Pillow -> pure Python.
+    """
     arr = to_uint8(img)
+    from . import native_display
+    data = native_display.encode_png(arr)
+    if data is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+        return
     try:
         from PIL import Image
         Image.fromarray(arr).save(path)
