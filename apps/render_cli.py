@@ -44,6 +44,9 @@ def main(argv=None) -> int:
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"],
                     help="force JAX platform")
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the render "
+                         "into DIR (view with xprof/tensorboard)")
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -79,27 +82,37 @@ def main(argv=None) -> int:
         ckpt.load_render_state(args.resume, tracer)
         print(f"resumed at {tracer.frame_count} spp from {args.resume}")
 
+    import contextlib
+
+    from spt_tpu.utils.profiling import capture_trace, trace_scope
+
     target = settings.samples_per_pixel
     t_start = time.time()
     chunk_i = 0
-    while tracer.frame_count < target:
-        n = min(args.chunk, target - tracer.frame_count)
-        t0 = time.time()
-        tracer.render(spp=n)
-        import jax as _jax
-        _jax.block_until_ready(tracer.get_state()["accum"])
-        dt = time.time() - t0
-        chunk_i += 1
-        done = tracer.frame_count
-        rays = settings.width * settings.height * n
-        if not args.quiet:
-            print(f"  [{done:5d}/{target} spp] chunk {dt:6.2f}s "
-                  f"({rays / dt / 1e6:7.1f}M paths/s)")
-        if args.checkpoint:
-            ckpt.save_render_state(args.checkpoint, tracer)
-        if args.preview_every and chunk_i % args.preview_every == 0:
-            res = tracer.get_render_result()
-            write_image(args.output, res.image_f32)
+    profiler = capture_trace(args.profile) if args.profile \
+        else contextlib.nullcontext()
+    with profiler:
+        while tracer.frame_count < target:
+            n = min(args.chunk, target - tracer.frame_count)
+            t0 = time.time()
+            with trace_scope(f"render_chunk_{chunk_i}"):
+                tracer.render(spp=n)
+                import jax as _jax
+                _jax.block_until_ready(tracer.get_state()["accum"])
+            dt = time.time() - t0
+            chunk_i += 1
+            done = tracer.frame_count
+            rays = settings.width * settings.height * n
+            if not args.quiet:
+                print(f"  [{done:5d}/{target} spp] chunk {dt:6.2f}s "
+                      f"({rays / dt / 1e6:7.1f}M paths/s)")
+            if args.checkpoint:
+                ckpt.save_render_state(args.checkpoint, tracer)
+            if args.preview_every and chunk_i % args.preview_every == 0:
+                res = tracer.get_render_result()
+                write_image(args.output, res.image_f32)
+    if args.profile and not args.quiet:
+        print(f"profiler trace written to {args.profile}")
 
     res = tracer.get_render_result()
     write_image(args.output, res.image_f32)

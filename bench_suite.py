@@ -269,8 +269,17 @@ def main():
         results.append(r)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_SUITE.json")
+    # Merge with prior results so subset runs (--configs 5) update in place.
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = {r["config"]: r for r in json.load(f)}
+        except (ValueError, KeyError):
+            merged = {}
+    merged.update({r["config"]: r for r in results})
     with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump([merged[k] for k in sorted(merged)], f, indent=1)
     log(f"wrote {out}")
     return 0
 
