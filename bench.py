@@ -82,7 +82,11 @@ def main() -> int:
     mtypes = static_mtypes(scene_data)
 
     # --- forward: Pallas megakernel --------------------------------------
-    SPP_F = 64
+    # Launch sizes match production renders: one dispatch per 256/1024-spp
+    # chunk (the metric config is 1024 spp) so the fixed per-launch dispatch
+    # cost (~50 ms through the remote-execute tunnel) is amortized exactly
+    # as a real render amortizes it.
+    SPP_F = 256
     fwd = lambda s0: megakernel.render_tiles(
         scene_data, camera, W, H, s0, SPP_F, **kw)
     jax.block_until_ready(fwd(0))
@@ -109,8 +113,7 @@ def main() -> int:
     # Gradients of sum(image) w.r.t. all scene parameters (geometry +
     # materials + sky), verified against jax.grad of the SoA integrator.
     from spt_tpu.kernels import megakernel_grad
-    SPP_B = 256  # the metric config is 1024 spp; large launches amortize
-                 # the fixed dispatch cost exactly as production renders do
+    SPP_B = 1024  # the metric config itself: one 1024-spp launch
 
     def fwd_bwd(start):
         return megakernel_grad.render_and_grad(

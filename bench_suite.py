@@ -186,7 +186,8 @@ def bench_config4(quick):
     cam = Camera.look_at((0, 0, -2), (0, 0, 8), fov_degrees=60)
     W = H = 128 if quick else 256
     render = make_render_fn(sd, cam, W, H, max_bounces=4)
-    target = jax.block_until_ready(render(get_params(sd), jnp.arange(8)))
+    true_albedo = get_params(sd)["albedo"]
+    target = jax.block_until_ready(render(get_params(sd), jnp.arange(32)))
 
     inv = InverseRenderer(sd, cam, target, fields=("albedo", "roughness"),
                           spp_per_step=8, max_bounces=4,
@@ -197,16 +198,26 @@ def bench_config4(quick):
         inv.params["albedo"] + jnp.asarray(
             rng.uniform(-0.3, 0.3, inv.params["albedo"].shape), jnp.float32),
         0.05, 0.95)
+
+    def alb_rmse():
+        return float(jnp.sqrt(jnp.mean(
+            (inv.params["albedo"] - true_albedo) ** 2)))
+
+    rmse0 = alb_rmse()
     loss0 = inv.step()  # includes compile
     t0 = time.time()
-    n_steps = 10 if quick else 30
+    n_steps = 10 if quick else 50
     for _ in range(n_steps):
         loss = inv.step()
     dt = (time.time() - t0) / n_steps
+    # The image loss has an MC-noise floor (rotating 8-spp estimates vs a
+    # 32-spp target); parameter recovery is the real convergence metric.
     return {"config": 4, "name": f"inverse render 32 spheres {W}x{W} "
                                  f"({inv.backend})",
             "step_wall_s": round(dt, 4), "loss_first": round(loss0, 6),
-            "loss_last": round(loss, 6)}
+            "loss_last": round(loss, 6),
+            "albedo_rmse_first": round(rmse0, 5),
+            "albedo_rmse_last": round(alb_rmse(), 5)}
 
 
 def bench_config5(quick):
