@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Scaling-efficiency benchmark (BASELINE.md: >=85% rays/s efficiency).
+
+Real multi-chip hardware is not reachable from this environment (one TPU
+v5e behind the axon tunnel), so this measures the quantity that *determines*
+multi-chip efficiency and is measurable here: **sharding + collective
+overhead at equal total work**, on the virtual 8-device CPU mesh (the same
+`--xla_force_host_platform_device_count` trick the tests use — the real
+shard_map/psum/pmin programs, real XLA collectives, same host FLOP budget).
+
+Method: for each parallelism strategy, time the sharded program against an
+unsharded program doing the SAME total work on the same host threadpool.
+Because the 8 virtual devices share one CPU, equal-total-work wall times
+would be identical if sharding were free; the ratio
+
+    efficiency = t_unsharded / t_sharded
+
+is therefore the sharding/collective overhead factor — the term that costs
+efficiency on a pod (where per-device compute is embarrassingly parallel
+for pixel/sample sharding and the collectives ride ICI).
+
+Strategies measured (spt_tpu/parallel/sharding.py):
+  * pixel-sharded forward   — zero-collective; upper bound on overhead is
+                              shard_map plumbing only
+  * sample-sharded forward  — one psum of the radiance image
+  * primitive-sharded fwd   — per-bounce pmin/psum attribute broadcast
+                              (BASELINE config 5's communication pattern)
+  * DP gradient step        — psum all-reduce of scene-parameter grads
+                              against the path-replay backward
+
+Writes/merges a {"config": 6} row into BENCH_SUITE.json and prints one JSON
+line, mirroring bench_suite.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores JAX_PLATFORMS; the config update wins.
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+from bench_suite import cornell, log, timed  # noqa: E402
+
+
+def main() -> int:
+    from spt_tpu import Camera
+    from spt_tpu.diff import gradients as G
+    from spt_tpu.engine.integrator_jax import render_megasample
+    from spt_tpu.parallel import sharding as S
+    from spt_tpu.parallel.mesh import make_render_mesh
+
+    n_dev = len(jax.devices())
+    log(f"backend: {jax.default_backend()} devices: {n_dev}")
+    assert n_dev == 8, "expected the virtual 8-device CPU platform"
+
+    sd = cornell(ggx=True).compile()
+    cam = Camera.look_at((0, 1.0, -1.5), (0, 1.0, 3.0), fov_degrees=55)
+    W = H = 128
+    SPP = 8
+    kw = dict(max_bounces=4, rr_depth=3, use_nee=True, use_mis=True, seed=3)
+    ids = jnp.arange(SPP)
+
+    mesh_d = make_render_mesh(data=8, prim=1)
+    mesh_p = make_render_mesh(data=1, prim=8)
+
+    # Unsharded baseline: full frame, all samples, one device.
+    base = jax.jit(lambda sc: render_megasample(sc, cam, W, H, ids, **kw))
+    t_base = timed(base, sd)
+    log(f"unsharded {W}x{H}x{SPP}spp: {t_base:.3f}s")
+
+    # Each strategy is wrapped in ONE persistent outer jit so repeated timed
+    # calls hit the compile cache — otherwise the helper's fresh shard_map
+    # closure re-traces per call and the bench measures tracing, not
+    # collectives.
+    pix = jax.jit(lambda sc: S.render_pixel_sharded(sc, cam, W, H, ids,
+                                                    mesh_d, **kw))
+    t_pix = timed(pix, sd)
+    log(f"pixel-sharded: {t_pix:.3f}s  eff={t_base / t_pix:.3f}")
+
+    # Sample-sharded: SPP/8 per device + one psum.
+    smp = jax.jit(lambda sc: S.render_sample_sharded(
+        sc, cam, W, H, SPP // 8, mesh_d, **kw))
+    t_smp = timed(smp, sd)
+    log(f"sample-sharded: {t_smp:.3f}s  eff={t_base / t_smp:.3f}")
+
+    # Primitive-sharded: per-bounce pmin + one-hot psum attribute broadcast.
+    prm = jax.jit(lambda sc: S.render_prim_sharded(sc, cam, W, H, ids,
+                                                   mesh_p, **kw))
+    t_prm = timed(prm, sd)
+    log(f"prim-sharded: {t_prm:.3f}s  eff={t_base / t_prm:.3f}")
+
+    # DP gradient step: sample-sharded value_and_grad + psum all-reduce.
+    GW = GH = 64
+    render = G.make_render_fn(sd, cam, GW, GH, max_bounces=4)
+    params = G.get_params(sd, ("albedo", "roughness"))
+    target = jnp.zeros((GH, GW, 3), jnp.float32)
+    loss_fn = G.make_loss_fn(render, target)
+    DP_SPP = 8
+
+    def grad_base(p, step):
+        ids = step * DP_SPP + jnp.arange(DP_SPP)
+        return jax.value_and_grad(loss_fn)(p, ids)
+
+    t_gb = timed(jax.jit(grad_base), params, jnp.int32(0))
+    dp_step = S.make_dp_grad_step(loss_fn, mesh_d,
+                                  samples_per_device=DP_SPP // 8)
+    t_gs = timed(dp_step, params, jnp.int32(0))
+    log(f"grad unsharded: {t_gb:.3f}s  dp-sharded: {t_gs:.3f}s  "
+        f"eff={t_gb / t_gs:.3f}")
+
+    result = {
+        "config": 6,
+        "name": "scaling proxy: sharding+collective overhead at equal work "
+                "(8-dev virtual CPU mesh)",
+        "n_devices": n_dev,
+        "wall_s_unsharded": round(t_base, 4),
+        "eff_pixel_sharded": round(t_base / t_pix, 4),
+        "eff_sample_sharded": round(t_base / t_smp, 4),
+        "eff_prim_sharded": round(t_base / t_prm, 4),
+        "eff_dp_grad_step": round(t_gb / t_gs, 4),
+        "note": "multi-chip hardware unavailable; efficiency = unsharded / "
+                "sharded wall at equal total work on one host — the "
+                "sharding+collective overhead term of pod-scale efficiency",
+        "device": "cpu x8 (virtual)",
+    }
+    print(json.dumps(result), flush=True)
+
+    out = os.path.join(_HERE, "BENCH_SUITE.json")
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = {r["config"]: r for r in json.load(f)}
+        except (ValueError, KeyError):
+            merged = {}
+    merged[6] = result
+    with open(out, "w") as f:
+        json.dump([merged[k] for k in sorted(merged)], f, indent=1)
+    log(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -126,8 +126,18 @@ def bench_config1(quick):
     segs = count_segments(sd, cam, kw)
     dt = timed(lambda s0: megakernel.render_tiles(sd, cam, W, H, s0, SPP, **kw), 0)
     rays = SPP * segs * W * H
+    # This workload is tiny (1.6M segments): wall time is dominated by the
+    # fixed per-dispatch cost of the remote-execute tunnel, not the kernel.
+    # Fit t = dispatch + spp * t_kernel from a 16x-larger launch to report
+    # both terms separately.
+    dt_big = timed(lambda s0: megakernel.render_tiles(
+        sd, cam, W, H, s0, 16 * SPP, **kw), 0)
+    t_per_spp = (dt_big - dt) / (15 * SPP)
+    dispatch_s = max(dt - SPP * t_per_spp, 0.0)
     return {"config": 1, "name": "sphere-on-plane 256^2 16spp d4 (pallas fwd)",
             "wall_s": round(dt, 4), "rays_per_s": round(rays / dt),
+            "kernel_rays_per_s": round(rays / max(SPP * t_per_spp, 1e-9)),
+            "dispatch_overhead_s": round(dispatch_s, 4),
             "segments_per_path": round(segs, 3)}
 
 
