@@ -129,15 +129,21 @@ def bench_config1(quick):
     # This workload is tiny (1.6M segments): wall time is dominated by the
     # fixed per-dispatch cost of the remote-execute tunnel, not the kernel.
     # Fit t = dispatch + spp * t_kernel from a 16x-larger launch to report
-    # both terms separately.
+    # both terms separately.  (Valid because render_tiles issues a single
+    # pallas_call regardless of spp — spp is an inner grid axis.)
     dt_big = timed(lambda s0: megakernel.render_tiles(
         sd, cam, W, H, s0, 16 * SPP, **kw), 0)
     t_per_spp = (dt_big - dt) / (15 * SPP)
-    dispatch_s = max(dt - SPP * t_per_spp, 0.0)
+    if t_per_spp <= 0:  # timing noise swallowed the fit; don't report nonsense
+        kernel_rate, dispatch_s = None, None
+    else:
+        kernel_rate = round(rays / (SPP * t_per_spp))
+        dispatch_s = round(max(dt - SPP * t_per_spp, 0.0), 4)
     return {"config": 1, "name": "sphere-on-plane 256^2 16spp d4 (pallas fwd)",
+            "spp": SPP,
             "wall_s": round(dt, 4), "rays_per_s": round(rays / dt),
-            "kernel_rays_per_s": round(rays / max(SPP * t_per_spp, 1e-9)),
-            "dispatch_overhead_s": round(dispatch_s, 4),
+            "kernel_rays_per_s": kernel_rate,
+            "dispatch_overhead_s": dispatch_s,
             "segments_per_path": round(segs, 3)}
 
 
@@ -153,6 +159,7 @@ def bench_config2(quick):
     dt = timed(lambda s0: megakernel.render_tiles(sd, cam, W, H, s0, SPP, **kw), 0)
     rays = SPP * segs * W * H
     return {"config": 2, "name": "Cornell Lambert+NEE 512^2 d8 (pallas fwd)",
+            "spp": SPP, "quick": quick,
             "wall_s": round(dt, 4), "rays_per_s": round(rays / dt),
             "segments_per_path": round(segs, 3)}
 
@@ -172,6 +179,7 @@ def bench_config3(quick):
     dt_b = timed(lambda s0: megakernel_grad.render_and_grad(
         sd, cam, W, H, s0, SPP_B, **kw), 0)
     return {"config": 3, "name": "Cornell GGX+MIS 512^2 d8",
+            "spp_fwd": SPP_F, "spp_fwd_bwd": SPP_B, "quick": quick,
             "fwd_rays_per_s": round(SPP_F * segs * W * H / dt_f),
             "fwd_bwd_rays_per_s": round(SPP_B * segs * W * H / dt_b),
             "wall_s_fwd": round(dt_f, 4), "wall_s_fwd_bwd": round(dt_b, 4),
@@ -224,6 +232,7 @@ def bench_config4(quick):
     # 32-spp target); parameter recovery is the real convergence metric.
     return {"config": 4, "name": f"inverse render 32 spheres {W}x{W} "
                                  f"({inv.backend})",
+            "n_steps": n_steps, "quick": quick,
             "step_wall_s": round(dt, 4), "loss_first": round(loss0, 6),
             "loss_last": round(loss, 6),
             "albedo_rmse_first": round(rmse0, 5),
@@ -260,6 +269,7 @@ def bench_config5(quick):
     dt_b = timed(gfn, params, jnp.arange(SPP))
     fb_rays = SPP * segs * GW * GH / dt_b
     return {"config": 5, "name": f"10k-prim BVH {W}x{H} d8 NEE+MIS (SoA)",
+            "spp": SPP, "quick": quick,
             "n_prims": sd.num_prims,
             "fwd_rays_per_s": round(fwd_rays),
             "fwd_bwd_rays_per_s": round(fb_rays),

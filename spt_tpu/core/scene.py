@@ -186,6 +186,7 @@ class Scene:
         self.sky_horizon = (1.0, 1.0, 1.0)
         self.sky_zenith = (0.5, 0.7, 1.0)
         self.env_map = None  # (He, We, 3) float radiance, equirectangular
+        self.env_map_path = None  # source file of env_map, if loaded from one
 
     # -- node management ----------------------------------------------------
     def create_node(self, node: SceneNode) -> SceneNode:
@@ -235,14 +236,16 @@ class Scene:
             self.sky_zenith = tuple(zenith)
         self._has_changes = True
 
-    def set_environment_map(self, image) -> None:
+    def set_environment_map(self, image, path: Optional[str] = None) -> None:
         """Image-based lighting from an equirectangular radiance map
         (the capability the reference sketched in dead code —
-        Scene.cpp:124-169 — but never shipped)."""
+        Scene.cpp:124-169 — but never shipped).  ``path`` records the
+        source file so scene serialization can reference it."""
         self.env_map = np.asarray(image, np.float32)
         if self.env_map.ndim != 3 or self.env_map.shape[2] != 3:
             raise ValueError("environment map must be (H, W, 3)")
         self.sky_mode = SKY_ENVMAP
+        self.env_map_path = path
         self._has_changes = True
 
     # -- dirty protocol (Scene.h:207-215) ------------------------------------

@@ -134,12 +134,20 @@ class PathTracerBase:
         self._accum = self._accum + chunk
         self._frame_count += spp
 
-    def render_to_completion(self) -> None:
-        """Accumulate until samples_per_pixel is reached."""
+    def render_to_completion(self, chunk_spp: Optional[int] = None) -> None:
+        """Accumulate until samples_per_pixel is reached.
+
+        Progressive sessions advance in fixed-size chunks (default 32) so
+        intermediate results exist and the sample kernel is compiled for at
+        most two distinct spp values (the chunk and the final remainder);
+        non-progressive sessions render everything in one launch.
+        """
         self._invalidate()
-        while self._frame_count < self._settings.samples_per_pixel:
-            remaining = self._settings.samples_per_pixel - self._frame_count
-            self.render(spp=min(remaining, max(1, remaining)))
+        target = self._settings.samples_per_pixel
+        if chunk_spp is None:
+            chunk_spp = 32 if self._settings.progressive else max(target, 1)
+        while self._frame_count < target:
+            self.render(spp=min(chunk_spp, target - self._frame_count))
 
     def _render_samples(self, start_sample: int, spp: int) -> jax.Array:
         raise NotImplementedError

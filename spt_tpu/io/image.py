@@ -72,12 +72,12 @@ def write_ppm(path: str, img) -> None:
 
 
 def write_npy(path: str, img) -> None:
-    """Raw float radiance dump (the 'EXR' of this framework until OpenEXR)."""
+    """Raw float radiance dump (lossless; .hdr is the interchange format)."""
     np.save(path, np.asarray(img, np.float32))
 
 
 def write_image(path: str, img) -> None:
-    """Dispatch on extension: .png / .ppm / .npy."""
+    """Dispatch on extension: .png / .ppm / .npy / .hdr (Radiance RGBE)."""
     lower = path.lower()
     if lower.endswith(".png"):
         write_png(path, img)
@@ -85,5 +85,8 @@ def write_image(path: str, img) -> None:
         write_ppm(path, img)
     elif lower.endswith(".npy"):
         write_npy(path, img)
+    elif lower.endswith(".hdr"):
+        from .hdr import write_hdr
+        write_hdr(path, img)
     else:
         raise ValueError(f"unsupported image extension: {path}")

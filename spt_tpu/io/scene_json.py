@@ -7,8 +7,9 @@ top-level ``scene`` (camera / environment / objects / materials), ``render``
 gamma) blocks.  Material types: ``lambert`` (also accepts the schema's
 ``diffuse``), ``metal``/``metallic``, ``dielectric``/``glass``; any material
 may carry ``emission``.  Environment types: ``gradient`` (horizon/zenith),
-``constant``, ``none`` (``hdri`` is parsed but falls back to constant
-intensity until HDR maps land).
+``constant``, ``none``, and ``hdri`` — an equirectangular radiance map
+loaded from ``path`` (.npy float, .hdr Radiance RGBE, or any PIL-readable
+LDR image sRGB-decoded to linear) scaled by ``intensity``.
 """
 
 from __future__ import annotations
@@ -17,7 +18,8 @@ import json
 from typing import Optional, Tuple
 
 from ..core.camera import Camera
-from ..core.scene import SKY_CONSTANT, SKY_GRADIENT, SKY_NONE, Scene
+from ..core.scene import (SKY_CONSTANT, SKY_ENVMAP, SKY_GRADIENT, SKY_NONE,
+                          Scene)
 from ..core.settings import RenderSettings
 from ..utils.log import Log
 
@@ -27,12 +29,15 @@ _MAT_KIND = {"lambert": "lambert", "diffuse": "lambert",
 
 
 def load_env_map(path: str):
-    """Load an equirectangular radiance map: .npy (float) or any
-    PIL-readable image (sRGB-decoded to linear)."""
+    """Load an equirectangular radiance map: .npy (float), .hdr (Radiance
+    RGBE), or any PIL-readable LDR image (sRGB-decoded to linear)."""
     import numpy as np
 
     if path.endswith(".npy"):
         arr = np.load(path).astype(np.float32)
+    elif path.lower().endswith(".hdr"):
+        from .hdr import read_hdr
+        arr = read_hdr(path)
     else:
         from PIL import Image
         arr = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
@@ -107,7 +112,7 @@ def load_scene(path_or_dict) -> Tuple[Scene, Optional[Camera], RenderSettings]:
         path = env.get("path")
         inten = float(env.get("intensity", 1.0))
         if path:
-            scene.set_environment_map(load_env_map(path) * inten)
+            scene.set_environment_map(load_env_map(path) * inten, path=path)
         else:
             Log.warn("hdri environment without 'path'; using constant "
                      "intensity fallback")
@@ -174,9 +179,20 @@ def save_scene(path: str, scene: Scene, camera: Optional[Camera] = None,
                 "type": "sphere", "name": node.name,
                 "center": list(node.transform.position),
                 "radius": node.radius, "material": f"m{node.material}"})
-    env = {"type": {SKY_GRADIENT: "gradient", SKY_CONSTANT: "constant",
-                    SKY_NONE: "none"}[scene.sky_mode],
-           "horizon": list(scene.sky_horizon), "zenith": list(scene.sky_zenith)}
+    if scene.sky_mode == SKY_ENVMAP:
+        # Round-trip the map: reuse the source path when the scene remembers
+        # one, otherwise dump the radiance array next to the scene file.
+        env_path = getattr(scene, "env_map_path", None)
+        if env_path is None:
+            env_path = path + ".envmap.hdr"
+            from .hdr import write_hdr
+            write_hdr(env_path, scene.env_map)
+        env = {"type": "hdri", "path": env_path}
+    else:
+        env = {"type": {SKY_GRADIENT: "gradient", SKY_CONSTANT: "constant",
+                        SKY_NONE: "none"}[scene.sky_mode],
+               "horizon": list(scene.sky_horizon),
+               "zenith": list(scene.sky_zenith)}
     doc = {"scene": {"materials": mats, "objects": objects,
                      "environment": env}}
     if camera is not None:
@@ -187,6 +203,11 @@ def save_scene(path: str, scene: Scene, camera: Optional[Camera] = None,
             "position": [float(x) for x in pos],
             "target": [float(x) for x in pos + fwd],
             "fov": fov}
+        aperture = float(getattr(camera, "aperture", 0.0))
+        if aperture > 0.0:
+            doc["scene"]["camera"]["aperture"] = aperture
+            doc["scene"]["camera"]["focusDistance"] = \
+                float(camera.focus_dist)
     if settings is not None:
         doc["render"] = {
             "resolution": [settings.width, settings.height],

@@ -27,20 +27,30 @@ def _recorded():
 
 
 def test_cornell_forward_throughput():
-    """Config 2 forward rays/s must stay within 1.1x of the recorded run."""
+    """Config 2 forward rays/s must stay within 1.1x of the recorded run.
+
+    Runs at the *recorded* spp (quick=False) so fixed dispatch overhead is
+    amortized identically on both sides of the comparison; a quick-mode
+    recording is skipped rather than compared apples-to-oranges.
+    """
     import bench_suite
     rec = _recorded().get(2)
     if rec is None or "rays_per_s" not in rec:
         pytest.skip("no recorded config-2 number")
-    now = bench_suite.bench_config2(quick=True)
+    if rec.get("quick"):
+        pytest.skip("recorded config-2 row is quick-mode; re-record full")
+    now = bench_suite.bench_config2(quick=False)
+    assert now["spp"] == rec.get("spp", now["spp"]), \
+        "recorded spp differs; re-record BENCH_SUITE.json"
     assert now["rays_per_s"] * DERATE >= rec["rays_per_s"], (
         f"forward regression: {now['rays_per_s']:.3g} < "
         f"{rec['rays_per_s']:.3g}/1.1")
 
 
 def test_fwd_bwd_meets_baseline_target():
-    """The headline metric must hold the BASELINE.md 500M rays/s floor."""
+    """The headline metric must hold the BASELINE.md 500M rays/s floor,
+    undiluted, at the recorded (full) spp."""
     import bench_suite
-    now = bench_suite.bench_config3(quick=True)
-    assert now["fwd_bwd_rays_per_s"] >= 500e6 / DERATE, (
-        f"fwd+bwd {now['fwd_bwd_rays_per_s']:.3g} below the 500M target/1.1")
+    now = bench_suite.bench_config3(quick=False)
+    assert now["fwd_bwd_rays_per_s"] >= 500e6, (
+        f"fwd+bwd {now['fwd_bwd_rays_per_s']:.3g} below the 500M target")
