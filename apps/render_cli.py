@@ -113,6 +113,17 @@ def main(argv=None) -> int:
                 write_image(args.output, res.image_f32)
     if args.profile and not args.quiet:
         print(f"profiler trace written to {args.profile}")
+        # Per-bounce lane occupancy: the wavefront-compaction diagnostic.
+        from spt_tpu.utils.profiling import measure_occupancy
+        occ = measure_occupancy(
+            tracer.scene_data, tracer._camera or tracer._default_camera(),
+            min(settings.width, 128), min(settings.height, 128),
+            spp=4, max_bounces=settings.max_bounces,
+            rr_depth=settings.russian_roulette_depth,
+            use_nee=settings.use_nee, use_mis=settings.use_mis,
+            seed=settings.seed)
+        print("active-lane occupancy per bounce: "
+              + " ".join(f"{x:.3f}" for x in occ))
 
     res = tracer.get_render_result()
     write_image(args.output, res.image_f32)

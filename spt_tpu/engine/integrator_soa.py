@@ -104,8 +104,13 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
                           use_nee: bool = True, use_mis: bool = True,
                           seed: int = 0, row_offset=0,
                           full_height: int = None, with_stats: bool = False,
-                          dof: bool = False):
+                          with_occupancy: bool = False, dof: bool = False):
     """(H, W, 3) radiance sum over sample_ids — SoA fast path.
+
+    ``with_stats`` additionally returns the traced ray-segment count;
+    ``with_occupancy`` additionally returns the (max_bounces,) active-lane
+    fraction at each bounce — the measurement that motivates (or kills)
+    wavefront compaction.
 
     ``mtypes``: static per-sphere material-type tuple (``static_mtypes``);
     required under jit (the scene arg is traced there).  Scenes larger than
@@ -314,7 +319,8 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
             found = t < BIG
             hit = active & found
             miss = active & ~found
-            n_rays = n_rays + jnp.sum(active.astype(jnp.float32))
+            n_active = jnp.sum(active.astype(jnp.float32))
+            n_rays = n_rays + n_active
             if has_lights:
                 n_rays = n_rays + jnp.sum(hit.astype(jnp.float32))
 
@@ -583,20 +589,25 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
 
             return (ox, oy, oz, dx, dy, dz, th_r, th_g, th_b,
                     rad_r, rad_g, rad_b, active_n, prev_pdf, prev_spec,
-                    n_rays), None
+                    n_rays), n_active
 
-        state, _ = jax.lax.scan(jax.checkpoint(bounce), state,
-                                jnp.arange(max_bounces))
-        acc_r, acc_g, acc_b, acc_n = carry
+        state, occ_steps = jax.lax.scan(jax.checkpoint(bounce), state,
+                                        jnp.arange(max_bounces))
+        acc_r, acc_g, acc_b, acc_n, acc_occ = carry
         return (acc_r + state[9], acc_g + state[10], acc_b + state[11],
-                acc_n + state[15]), None
+                acc_n + state[15], acc_occ + occ_steps), None
 
     zero_img = jnp.zeros((n_px,), jnp.float32)
-    carry0 = (zero_img, zero_img, zero_img, jnp.zeros((), jnp.float32))
+    carry0 = (zero_img, zero_img, zero_img, jnp.zeros((), jnp.float32),
+              jnp.zeros((max_bounces,), jnp.float32))
     carry, _ = jax.lax.scan(jax.checkpoint(one_sample), carry0,
                             jnp.asarray(sample_ids))
-    r, g, b, n_rays = carry
+    r, g, b, n_rays, occ_counts = carry
     img = jnp.stack([r, g, b], axis=-1).reshape(height, width, 3)
+    if with_occupancy:
+        n_samples = jnp.asarray(sample_ids).shape[0]
+        occupancy = occ_counts / jnp.float32(max(n_px * n_samples, 1))
+        return img, n_rays, occupancy
     if with_stats:
         return img, n_rays
     return img

@@ -86,8 +86,40 @@ class RenderStats:
         t = sum(f[0] for f in self._frames)
         return sum(f[2] for f in self._frames) / t if t > 0 else 0.0
 
+    def record_occupancy(self, occupancy) -> None:
+        """Store the per-bounce active-lane fraction (see
+        ``measure_occupancy``)."""
+        self.occupancy = [float(x) for x in occupancy]
+
     def summary(self) -> dict:
-        return {"fps": self.fps, "paths_per_s": self.paths_per_second,
-                "rays_per_s": self.rays_per_second,
-                "total_paths": self.total_paths,
-                "total_time_s": self.total_time}
+        out = {"fps": self.fps, "paths_per_s": self.paths_per_second,
+               "rays_per_s": self.rays_per_second,
+               "total_paths": self.total_paths,
+               "total_time_s": self.total_time}
+        if getattr(self, "occupancy", None) is not None:
+            out["occupancy_per_bounce"] = self.occupancy
+        return out
+
+
+def measure_occupancy(scene_data, camera, width: int, height: int, *,
+                      spp: int = 8, max_bounces: int = 8, rr_depth: int = 3,
+                      use_nee: bool = True, use_mis: bool = True,
+                      seed: int = 0) -> list:
+    """Per-bounce active-lane fraction of the wavefront (list of floats).
+
+    Bounce k's entry records how many lanes still carry a live ray; the
+    tail fractions are exactly the wasted VPU work a compaction pass would
+    reclaim — the measurement that motivates (or kills) pipeline-
+    parallel / compaction designs (SURVEY.md §2.4 PP row).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..engine.integrator_soa import render_megasample_soa, static_mtypes
+
+    mt = static_mtypes(scene_data) if scene_data.capacity <= 128 else None
+    fn = jax.jit(lambda sc, ids: render_megasample_soa(
+        sc, camera, width, height, ids, mtypes=mt, max_bounces=max_bounces,
+        rr_depth=rr_depth, use_nee=use_nee, use_mis=use_mis, seed=seed,
+        with_occupancy=True)[2])
+    occ = fn(scene_data, jnp.arange(spp))
+    return [float(x) for x in occ]
