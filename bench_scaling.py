@@ -74,7 +74,11 @@ def main() -> int:
     ids = jnp.arange(SPP)
 
     mesh_d = make_render_mesh(data=8, prim=1)
-    mesh_p = make_render_mesh(data=1, prim=8)
+    # The config-5 production layout is 2-D: rays sharded over `data`,
+    # primitives over `prim` (matching dryrun_multichip's 4x2 mesh).  A
+    # pure prim=8 mesh duplicates ALL shading work 8x — that measures the
+    # wrong thing.
+    mesh_p = make_render_mesh(data=4, prim=2)
 
     # Unsharded baseline: full frame, all samples, one device.
     base = jax.jit(lambda sc: render_megasample(sc, cam, W, H, ids, **kw))
@@ -96,11 +100,27 @@ def main() -> int:
     t_smp = timed(smp, sd)
     log(f"sample-sharded: {t_smp:.3f}s  eff={t_base / t_smp:.3f}")
 
-    # Primitive-sharded: per-bounce pmin + one-hot psum attribute broadcast.
-    prm = jax.jit(lambda sc: S.render_prim_sharded(sc, cam, W, H, ids,
-                                                   mesh_p, **kw))
+    # Primitive-sharded, gather-per-bounce (ZeRO-style; one collective per
+    # bounce, transient full-scene workspace) — the fast path when one
+    # scene copy fits on-chip.
+    prm = jax.jit(lambda sc: S.render_prim_sharded_gather(
+        sc, cam, W, H, ids, mesh_p, **kw))
     t_prm = timed(prm, sd)
-    log(f"prim-sharded: {t_prm:.3f}s  eff={t_base / t_prm:.3f}")
+    log(f"prim-sharded (gather): {t_prm:.3f}s  eff={t_base / t_prm:.3f}")
+
+    # Streaming ring variant (ppermute; for scenes beyond one chip's HBM).
+    prm_ring = jax.jit(lambda sc: S.render_prim_sharded_ring(
+        sc, cam, W, H, ids, mesh_p, **kw))
+    t_prm_ring = timed(prm_ring, sd)
+    log(f"prim-sharded (ring): {t_prm_ring:.3f}s  "
+        f"eff={t_base / t_prm_ring:.3f}")
+
+    # Legacy pmin + one-hot-psum variant, kept for comparison.
+    prm_oh = jax.jit(lambda sc: S.render_prim_sharded(sc, cam, W, H, ids,
+                                                      mesh_p, **kw))
+    t_prm_oh = timed(prm_oh, sd)
+    log(f"prim-sharded (one-hot psum): {t_prm_oh:.3f}s  "
+        f"eff={t_base / t_prm_oh:.3f}")
 
     # DP gradient step: sample-sharded value_and_grad + psum all-reduce.
     GW = GH = 64
@@ -130,6 +150,8 @@ def main() -> int:
         "eff_pixel_sharded": round(t_base / t_pix, 4),
         "eff_sample_sharded": round(t_base / t_smp, 4),
         "eff_prim_sharded": round(t_base / t_prm, 4),
+        "eff_prim_sharded_ring": round(t_base / t_prm_ring, 4),
+        "eff_prim_sharded_onehot": round(t_base / t_prm_oh, 4),
         "eff_dp_grad_step": round(t_gb / t_gs, 4),
         "note": "multi-chip hardware unavailable; efficiency = unsharded / "
                 "sharded wall at equal total work on one host. Values > 1 "

@@ -320,6 +320,7 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
                       full_height: int = None,
                       intersect_fn=None, occluded_fn=None,
                       gather_prim_fn=None, gather_light_fn=None,
+                      intersect_attrs_fn=None, light_attrs_fn=None,
                       with_stats: bool = False):
     """Trace ``len(sample_ids)`` full samples per pixel; return summed radiance.
 
@@ -335,6 +336,13 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
     min-reduction); ``gather_prim_fn(hid)`` / ``gather_light_fn(prim)``
     override primitive-attribute fetch by global id -> (centers, radii,
     mat_id), so sharded geometry never needs to be replicated.
+    ``intersect_attrs_fn(o, d)`` replaces the intersect+gather pair at once
+    -> (t, hit_id, centers, radii, mat_id): the ring-pass sharding picks up
+    the winner's attributes *while* the scene chunk visits each device, so
+    no post-hoc gather (and no broadcast collective) is needed.
+    ``light_attrs_fn(l_slot)`` -> (centers, radii, mat_id) fetches light
+    attributes by light *slot* (for shardings that replicate the small
+    light table instead of gathering by global prim id).
     """
     if full_height is None:
         full_height = height
@@ -378,7 +386,11 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
             radiance = state["radiance"]
             active = state["active"]
 
-            t, hit_id = intersect_fn(o, d)
+            if intersect_attrs_fn is not None:
+                t, hit_id, c_hit, r_hit, mat_hit = intersect_attrs_fn(o, d)
+            else:
+                t, hit_id = intersect_fn(o, d)
+                c_hit = r_hit = mat_hit = None
             hit = active & (hit_id >= 0)
             miss = active & (hit_id < 0)
             n_rays = state["n_rays"] + jnp.sum(active.astype(jnp.float32))
@@ -392,7 +404,8 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
             hid = jnp.maximum(hit_id, 0)
             t_safe = jnp.where(hit, t, 1.0)[:, None]
             p = o + t_safe * d
-            c_hit, r_hit, mat_hit = gather_prim_fn(hid)
+            if c_hit is None:
+                c_hit, r_hit, mat_hit = gather_prim_fn(hid)
             n_g = intersect.sphere_normal(p, c_hit)
             wo = -d
 
@@ -425,8 +438,11 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
                 lu1 = _u(pixel_id, sid_b, ku, _DIM_LU1, seed_u)
                 lu2 = _u(pixel_id, sid_b, ku, _DIM_LU2, seed_u)
                 l_slot = jnp.minimum((ul_sel * nl).astype(jnp.int32), nl - 1)
-                l_prim = scene.light_idx[l_slot]
-                lc, lr, l_mat = gather_light_fn(l_prim)
+                if light_attrs_fn is not None:
+                    lc, lr, l_mat = light_attrs_fn(l_slot)
+                else:
+                    l_prim = scene.light_idx[l_slot]
+                    lc, lr, l_mat = gather_light_fn(l_prim)
                 p_off = p + EPS_OFFSET * ns
                 ldir, pdf_l, inside_l = sampling.sample_sphere_cone(
                     p_off, lc, lr, lu1, lu2)

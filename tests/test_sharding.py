@@ -101,6 +101,55 @@ def test_prim_sharded_large_scene(rng_np):
     assert close.mean() > 0.99
 
 
+def test_prim_sharded_gather_matches_single_device():
+    """ZeRO-style gather-per-chunk prim sharding ≡ single device."""
+    sd = _scene().compile()
+    W, H = 24, 24
+    ids = jnp.arange(2)
+    ref = np.asarray(render_megasample(sd, CAM, W, H, ids, **KW))
+    mesh = make_render_mesh(data=2, prim=4)
+    out = np.asarray(S.render_prim_sharded_gather(sd, CAM, W, H, ids, mesh,
+                                                  **KW))
+    close = np.isclose(out, ref, rtol=1e-4, atol=1e-5).all(axis=-1)
+    assert close.mean() > 0.995, f"{(~close).sum()} px differ"
+
+
+def test_prim_sharded_ring_matches_single_device():
+    """The ppermute scene-ring pass (config-5 pattern) ≡ single device."""
+    sd = _scene().compile()
+    W, H = 24, 24
+    ids = jnp.arange(2)
+    ref = np.asarray(render_megasample(sd, CAM, W, H, ids, **KW))
+    mesh = make_render_mesh(data=2, prim=4)
+    out = np.asarray(S.render_prim_sharded_ring(sd, CAM, W, H, ids, mesh,
+                                                **KW))
+    close = np.isclose(out, ref, rtol=1e-4, atol=1e-5).all(axis=-1)
+    assert close.mean() > 0.995, f"{(~close).sum()} px differ"
+
+
+def test_prim_sharded_ring_large_scene(rng_np):
+    scene = Scene()
+    m = scene.add_material("lambert", albedo=(0.6, 0.6, 0.6))
+    lamp = scene.add_material("lambert", albedo=(0.8,) * 3,
+                              emission=(12.0,) * 3)
+    for i in range(600):
+        p = rng_np.uniform(-8, 8, 3)
+        p[2] += 12.0
+        scene.create_sphere(f"s{i}", tuple(p), float(rng_np.uniform(0.2, 0.5)), m)
+    scene.create_sphere("lamp", (0, 10, 12), 2.0, lamp)  # NEE exercised
+    sd = scene.compile(use_bvh=False)
+    W = H = 16
+    ids = jnp.arange(1)
+    kw = dict(max_bounces=2, rr_depth=8, seed=1)
+    cam = Camera.look_at((0, 0, -4), (0, 0, 12), fov_degrees=60)
+    ref = np.asarray(render_megasample(sd, cam, W, H, ids, **kw))
+    mesh = make_render_mesh(data=1, prim=8)
+    out = np.asarray(S.render_prim_sharded_ring(sd, cam, W, H, ids, mesh,
+                                                **kw))
+    close = np.isclose(out, ref, rtol=1e-4, atol=1e-5).all(axis=-1)
+    assert close.mean() > 0.99
+
+
 def test_dp_grad_step_matches_single_device():
     sd = _scene().compile()
     W = H = 16
