@@ -24,22 +24,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:
-    """Multi-host bring-up; no-op when JAX is already initialized or
-    single-process args are absent."""
-    if coordinator_address is None:
-        return
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    """Multi-host bring-up (SNIPPETS.md pattern): call once per process
+    before any device op.  With no arguments, defers to JAX's environment
+    auto-detection (``jax.distributed.initialize()`` reads the cluster env
+    — on Cloud TPU pods this needs no explicit coordinator); with an
+    explicit coordinator it wires the process group directly.  No-op when
+    already initialized."""
+    try:
+        if coordinator_address is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(coordinator_address=coordinator_address,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized (or single-process with no cluster env)
 
 
 def make_render_mesh(data: Optional[int] = None, prim: int = 1,
+                     hosts: Optional[int] = None,
                      devices: Optional[Sequence] = None) -> Mesh:
     """Mesh with a ``data`` (rays/samples) axis and a ``prim`` axis.
 
-    Defaults to all devices on ``data``.  On multi-host slices, callers
-    should put hosts on the outer (``data``) axis so the heavy primitive
-    min-reduction collectives of config 5 ride ICI within a host's chips.
+    Defaults to all devices on ``data``.  ``hosts`` declares the multi-host
+    shape: devices are laid out host-major and each ``prim`` group is kept
+    *within* one host's chips, so the prim-axis collectives of config 5
+    (the scene all_gather / ppermute ring) ride ICI; only the ``data``-axis
+    collectives — the one psum of sample-sharded partial images and the DP
+    gradient all-reduce, both once per step — cross the DCN between hosts.
+    Requires prim to divide the per-host chip count.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -49,7 +62,22 @@ def make_render_mesh(data: Optional[int] = None, prim: int = 1,
         data = n // prim
     if data * prim > n:
         raise ValueError(f"mesh {data}x{prim} exceeds {n} devices")
-    dev_array = np.asarray(devices[:data * prim]).reshape(data, prim)
+    if hosts is not None:
+        if (data * prim) % hosts != 0:
+            raise ValueError(f"{data * prim} devices not divisible by "
+                             f"hosts={hosts}")
+        chips = data * prim // hosts
+        if chips % prim != 0:
+            raise ValueError(
+                f"prim={prim} does not divide the {chips} chips/host — a "
+                f"prim group would straddle hosts and its collectives "
+                f"would cross DCN")
+        # Host-major order; contiguous chips within a host form each prim
+        # group: reshape (hosts, chips) -> (hosts * chips/prim, prim).
+        dev_array = np.asarray(devices[:data * prim]).reshape(
+            hosts, chips // prim, prim).reshape(data, prim)
+    else:
+        dev_array = np.asarray(devices[:data * prim]).reshape(data, prim)
     return Mesh(dev_array, ("data", "prim"))
 
 

@@ -150,6 +150,27 @@ def test_prim_sharded_ring_large_scene(rng_np):
     assert close.mean() > 0.99
 
 
+def test_host_axis_mesh():
+    """hosts= lays devices host-major with prim groups inside one host."""
+    mesh = make_render_mesh(data=4, prim=2, hosts=2)
+    assert dict(mesh.shape) == {"data": 4, "prim": 2}
+    devs = np.asarray(mesh.devices)
+    # Host 0 owns the first 4 devices = first two prim groups (rows 0-1).
+    flat = [d.id for d in devs.reshape(-1)]
+    assert flat == list(range(8))
+    with pytest.raises(ValueError, match="straddle hosts"):
+        make_render_mesh(data=2, prim=4, hosts=4)  # 2 chips/host < prim=4
+    # Sharded render still matches on a host-shaped mesh.
+    sd = _scene().compile()
+    W, H = 24, 24
+    ids = jnp.arange(1)
+    ref = np.asarray(render_megasample(sd, CAM, W, H, ids, **KW))
+    out = np.asarray(S.render_prim_sharded_gather(sd, CAM, W, H, ids, mesh,
+                                                  **KW))
+    close = np.isclose(out, ref, rtol=1e-4, atol=1e-5).all(axis=-1)
+    assert close.mean() > 0.995
+
+
 def test_dp_grad_step_matches_single_device():
     sd = _scene().compile()
     W = H = 16
