@@ -177,7 +177,8 @@ def occluded_unrolled(spheres, ox, oy, oz, dx, dy, dz, tmax):
     return blocked
 
 
-def trace_bounce(theta, state, aux, u, nl, cfg: BounceCfg):
+def trace_bounce(theta, state, aux, u, nl, cfg: BounceCfg,
+                 intersect_fn=None, occluded_fn=None):
     """One wavefront bounce.
 
     theta = (spheres: tuple[P] of 12-scalar tuples,
@@ -188,6 +189,12 @@ def trace_bounce(theta, state, aux, u, nl, cfg: BounceCfg):
     aux   = (active, prev_spec)  bool arrays        -- non-diff
     u     = dict rr,u1,u2,lobe[,lsel,lu1,lu2]       -- non-diff uniforms
     nl    = dynamic scalar int: live light count
+    intersect_fn(ox,oy,oz,dx,dy,dz, active) -> (t, h, m_lam, m_met, m_die):
+        optional replacement for the static sphere unroll (the BVH kernel
+        plugs its packet traversal in here); default uses ``theta[0]``.
+    occluded_fn(ox,oy,oz,dx,dy,dz, tmax, need) -> blocked: likewise for the
+        NEE shadow test (``need`` marks lanes whose result matters, so an
+        any-hit walk can early-out).
     Returns (new_state, new_aux).
     """
     spheres, sky, lights = theta
@@ -198,8 +205,12 @@ def trace_bounce(theta, state, aux, u, nl, cfg: BounceCfg):
     use_nee = cfg.use_nee and cfg.n_light_slots > 0
     use_mis = cfg.use_mis
 
-    t, h, m_lam, m_met, m_die, _ = intersect_spheres_unrolled(
-        spheres, cfg.mtypes, ox, oy, oz, dx, dy, dz)
+    if intersect_fn is None:
+        t, h, m_lam, m_met, m_die, _ = intersect_spheres_unrolled(
+            spheres, cfg.mtypes, ox, oy, oz, dx, dy, dz)
+    else:
+        t, h, m_lam, m_met, m_die = intersect_fn(ox, oy, oz, dx, dy, dz,
+                                                 active)
     found = t < BIG
     hit = active & found
     miss = active & ~found
@@ -371,8 +382,12 @@ def trace_bounce(theta, state, aux, u, nl, cfg: BounceCfg):
         cl = _dot(tocx, tocy, tocz, tocx, tocy, tocz) - lrr * lrr
         discl = jnp.maximum(bl * bl - cl, 0.0)
         t_l = bl - jnp.sqrt(jnp.maximum(discl, 1e-20))
-        blocked = occluded_unrolled(spheres, pox, poy, poz, ldx, ldy, ldz,
-                                    t_l - 1e-3)
+        if occluded_fn is None:
+            blocked = occluded_unrolled(spheres, pox, poy, poz, ldx, ldy,
+                                        ldz, t_l - 1e-3)
+        else:
+            blocked = occluded_fn(pox, poy, poz, ldx, ldy, ldz, t_l - 1e-3,
+                                  hit & ~spec_new)
         lit = ~blocked & ~inside_l & (t_l > TMIN)
         ndotl = jnp.maximum(_dot(nsx, nsy, nsz, ldx, ldy, ldz), 0.0)
         pdf_b_lam = ndotl * (1.0 / math.pi)
