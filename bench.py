@@ -100,12 +100,17 @@ def main() -> int:
     # --- exact ray-segment count (small instrumented SoA pass) ------------
     CW = CH = 128
     count_fn = jax.jit(lambda sc, ids: render_megasample_soa(
-        sc, camera, CW, CH, ids, mtypes=mtypes, with_stats=True, **kw)[1])
-    n_rays0 = float(count_fn(scene_data, jnp.arange(8)))
-    segs_per_path = n_rays0 / (8.0 * CW * CH)
+        sc, camera, CW, CH, ids, mtypes=mtypes, with_occupancy=True,
+        **kw)[1:])
+    n_rays0, occ = count_fn(scene_data, jnp.arange(8))
+    segs_per_path = float(n_rays0) / (8.0 * CW * CH)
+    # Per-bounce occupancy sums to path segments WITHOUT NEE shadow rays —
+    # report both so the metric is unambiguous (VERDICT r1 weak #7).
+    path_segs_per_path = float(jnp.sum(occ))
     segs_per_spp = segs_per_path * W * H
     log(f"measured segments per path: {segs_per_path:.2f} "
-        f"(incl. shadow rays) -> {segs_per_spp/1e6:.2f}M per spp at {W}x{H}")
+        f"(incl. shadow rays; {path_segs_per_path:.2f} path-only) -> "
+        f"{segs_per_spp/1e6:.2f}M per spp at {W}x{H}")
     fwd_rays_s = SPP_F * segs_per_spp / dt_f
     log(f"forward (pallas): {dt_f:.3f}s/{SPP_F}spp -> {fwd_rays_s/1e6:.0f}M rays/s")
 
@@ -137,6 +142,10 @@ def main() -> int:
         "vs_baseline": round(fb_rays_s / 500e6, 4),
         "forward_only_rays_s": round(fwd_rays_s),
         "segments_per_spp": round(segs_per_spp),
+        # Same wall time counted without NEE shadow rays (path segments
+        # only) — the conservative reading of "rays".
+        "value_path_segments_only": round(
+            fb_rays_s * path_segs_per_path / segs_per_path),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -243,6 +243,7 @@ def bench_config5(quick):
     from spt_tpu import Camera
     from spt_tpu.diff import gradients as G
     from spt_tpu.engine.integrator_soa import render_megasample_soa
+    from spt_tpu.kernels import megakernel_bvh, megakernel_bvh_grad
     sd = scene_10k(2000 if quick else 10_000).compile()
     assert sd.bvh is not None
     cam = Camera.look_at((0, 0, -10), (0, 0, 60), fov_degrees=65)
@@ -251,12 +252,20 @@ def bench_config5(quick):
     segs = count_segments(sd, cam, kw, w=128, h=128, spp=4)
 
     SPP = 1 if quick else 4
+    reps = 3 if quick else 1  # full runs are tens of seconds each
+    # Both engines measured: the pure-XLA SoA integrator (per-lane divergent
+    # BVH traversal, gather-based) and the Pallas packet-BVH megakernel.
     fwd = jax.jit(lambda sc, ids: render_megasample_soa(
         sc, cam, W, H, ids, **kw))
-    dt_f = timed(fwd, sd, jnp.arange(SPP))
+    dt_f_soa = timed(fwd, sd, jnp.arange(SPP), reps=reps)
+    interp = jax.default_backend() != "tpu"
+    dt_f_pal = timed(lambda s0: megakernel_bvh.render_tiles_bvh(
+        sd, cam, W, H, s0, SPP, interpret=interp, **kw), 0, reps=reps)
+    dt_f = min(dt_f_soa, dt_f_pal)
     fwd_rays = SPP * segs * W * H / dt_f
 
-    # fwd+bwd: gradient of the mean image w.r.t. all scene parameters.
+    # fwd+bwd: gradient w.r.t. all scene parameters; SoA jax.grad vs the
+    # fused path-replay BVH kernel.
     params = G.get_params(sd, ("albedo", "roughness", "centers", "radii"))
     GW, GH = (W // 2, H // 2)  # gradient pass at half res, standard practice
 
@@ -266,14 +275,21 @@ def bench_config5(quick):
         return jnp.mean(img)
 
     gfn = jax.jit(jax.grad(loss))
-    dt_b = timed(gfn, params, jnp.arange(SPP))
+    dt_b_soa = timed(gfn, params, jnp.arange(SPP), reps=reps)
+    dt_b_pal = timed(lambda s0: megakernel_bvh_grad.render_and_grad_bvh(
+        sd, cam, GW, GH, s0, SPP, interpret=interp, **kw), 0, reps=reps)
+    dt_b = min(dt_b_soa, dt_b_pal)
     fb_rays = SPP * segs * GW * GH / dt_b
-    return {"config": 5, "name": f"10k-prim BVH {W}x{H} d8 NEE+MIS (SoA)",
+    return {"config": 5, "name": f"10k-prim BVH {W}x{H} d8 NEE+MIS",
             "spp": SPP, "quick": quick,
             "n_prims": sd.num_prims,
             "fwd_rays_per_s": round(fwd_rays),
             "fwd_bwd_rays_per_s": round(fb_rays),
-            "wall_s_fwd": round(dt_f, 4), "wall_s_fwd_bwd": round(dt_b, 4),
+            "fwd_engine": "soa-xla" if dt_f_soa <= dt_f_pal else "pallas-bvh",
+            "wall_s_fwd_soa": round(dt_f_soa, 4),
+            "wall_s_fwd_pallas_bvh": round(dt_f_pal, 4),
+            "wall_s_fwd_bwd_soa": round(dt_b_soa, 4),
+            "wall_s_fwd_bwd_pallas_bvh": round(dt_b_pal, 4),
             "segments_per_path": round(segs, 3)}
 
 
