@@ -1,0 +1,324 @@
+"""Sorted-wavefront renderer: bounce-split kernels + ray binning (large scenes).
+
+The full-depth BVH megakernel (megakernel_bvh.py) packet-walks the tree with
+ONE scalar pointer per 1024-ray tile, so its culling is exactly as good as
+the packet is coherent: primary packets cull well, but after one diffuse
+bounce a 32x32-pixel packet's rays point everywhere and the walk degenerates
+toward a full-tree sweep.  This module is the designed fix (SURVEY.md §2.4 PP
+row; ARCHITECTURE.md §7): split the megakernel at bounce boundaries and
+re-sort the ray stream between bounces so every packet the kernel sees is
+coherent again.
+
+  raygen kernel -> [ sort by (alive, origin-morton, direction-octant)
+                     -> bounce-k kernel ] x depth -> scatter-add by pixel id
+
+* **One bounce per pallas_call, state in HBM.**  Ray state is a single
+  (16, R/128, 128) f32 tensor (o, d, throughput, radiance, prev-pdf, alive,
+  prev-specular, in-image) plus a (2, R/128, 128) i32 tensor (pixel id,
+  sample id).  Each grid step processes an (8, 128) tile: the same packet
+  traversal and shared bounce physics as the megakernel
+  (physics.trace_bounce with the BVH intersectors plugged in), with the
+  bounce index k static per call so RNG dimensions stay compile-time.
+
+* **Sorting IS wavefront compaction** (the P5 strategy): the key orders
+  alive rays first, so Russian-roulette casualties collect into all-dead
+  tiles whose packet walk exits after one root test and whose state is
+  copied through untouched.  No dynamic shapes anywhere — the "queue" is
+  the sorted prefix of a static-shape stream.
+
+* **Permutation-safe by construction.**  Every sample site keys its RNG on
+  the (pixel, sample) ids *carried with the ray* (core/rng.py counter
+  streams), so any permutation of the stream — including none — produces
+  bit-identical radiance per ray.  tests/test_wavefront.py pins sorted ==
+  unsorted == megakernel.
+
+* **The scatter at the end is tiny**: radiance rides with the ray and is
+  scatter-added into the (H*W + 1)-slot image once per chunk (out-of-image
+  padding lanes dump into the extra slot).
+
+The reference's analog of this whole file is the serial per-pixel loop at
+/root/reference/libs/render/src/engines/pathtracer/backends/cpu/
+CPUPathTracer.cpp:57-82 — the wavefront re-organization is the TPU-native
+answer to what Embree's internal packet/stream API (rtcIntersect1 at :227)
+does for CPU SIMD.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import rng
+from ..core.scene import SceneData
+from . import physics
+from .megakernel import _SKY_OFF
+from .megakernel_bvh import (BLOCK, _MAT_OFF, _MAT_STRIDE, TILE, TILE_LANES,
+                             TILE_ROWS, TW, TH, _make_intersectors, _packed)
+from .megakernel_grad import _raygen, _uniforms
+
+# State-tensor channel layout (all f32).
+C_OX, C_OY, C_OZ, C_DX, C_DY, C_DZ = range(6)
+C_TR, C_TG, C_TB = 6, 7, 8
+C_LR, C_LG, C_LB = 9, 10, 11
+C_PDF = 12
+C_ALIVE, C_SPEC, C_INIMG = 13, 14, 15
+N_CH = 16
+
+DEAD_KEY = jnp.int32(1 << 20)   # sorts after every live 15-bit key
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _raygen_kernel(meta_ref, blob_ref, st_ref, ids_ref, *, width, height,
+                   tiles_x, tiles_per_img, dof):
+    """Initial ray state for one (8, 128) tile, swizzled 32x32 pixel blocks."""
+    tile = pl.program_id(0)
+    start_sample = meta_ref[0]
+    seed = meta_ref[1].astype(jnp.uint32)
+    s_idx = tile // tiles_per_img
+    timg = tile % tiles_per_img
+    sample_scalar = (start_sample + s_idx).astype(jnp.uint32)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 1)
+    lin = rows * TILE_LANES + lanes
+    tx = timg % tiles_x
+    ty = timg // tiles_x
+    px = tx * TW + lin % TW
+    py = ty * TH + lin // TW
+    in_image = (px < width) & (py < height)
+    pxc = jnp.minimum(px, width - 1)
+    pyc = jnp.minimum(py, height - 1)
+    pid = (pyc * width + pxc).astype(jnp.uint32)
+    sample = jnp.broadcast_to(sample_scalar, pid.shape)
+
+    ox, oy, oz, dx, dy, dz = _raygen(blob_ref, pid, pxc, pyc, sample, seed,
+                                     width, height, dof=dof)
+    one = jnp.ones_like(ox)
+    zero = jnp.zeros_like(ox)
+    img_f = in_image.astype(jnp.float32)
+    for c, v in enumerate((ox, oy, oz, dx, dy, dz, one, one, one,
+                           zero, zero, zero, zero, img_f, one, img_f)):
+        st_ref[c] = v
+    ids_ref[0] = pid.astype(jnp.int32)
+    ids_ref[1] = sample.astype(jnp.int32)
+
+
+def _bounce_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
+                   st_ref, ids_ref, out_ref, blk_scr, *, k, n_nodes, block,
+                   n_mats, mtypes, n_light_slots, rr_depth, use_nee, use_mis,
+                   sky_mode):
+    seed = meta_ref[1].astype(jnp.uint32)
+    nl = meta_ref[2]
+    alive = st_ref[C_ALIVE] > 0.5
+    any_alive = jnp.any(alive)
+
+    @pl.when(jnp.logical_not(any_alive))
+    def _():   # dead tile: copy state through untouched
+        for c in range(N_CH):
+            out_ref[c] = st_ref[c]
+
+    @pl.when(any_alive)
+    def _():
+        pid = ids_ref[0].astype(jnp.uint32)
+        sample = ids_ref[1].astype(jnp.uint32)
+        state = tuple(st_ref[c] for c in range(C_PDF + 1))
+        aux = (alive, st_ref[C_SPEC] > 0.5)
+
+        sky = tuple(blob_ref[_SKY_OFF + a]
+                    for a in range(physics.N_SKY_ATTRS))
+        light_off = _MAT_OFF + _MAT_STRIDE * n_mats
+        lights = tuple(
+            tuple(blob_ref[light_off + 7 * l + a] for a in range(7))
+            for l in range(n_light_slots))
+        theta = ((), sky, lights)
+        intersect_fn, occluded_fn = _make_intersectors(
+            blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr, n_nodes,
+            block, n_mats, mtypes)
+
+        u = _uniforms(pid, sample, seed, k)
+        cfg = physics.BounceCfg(
+            mtypes=(), k=k, rr_depth=rr_depth, use_nee=use_nee,
+            use_mis=use_mis, sky_mode=sky_mode,
+            n_light_slots=n_light_slots)
+        state, aux = physics.trace_bounce(
+            theta, state, aux, u, nl, cfg,
+            intersect_fn=intersect_fn, occluded_fn=occluded_fn)
+
+        for c, v in enumerate(state):
+            out_ref[c] = v
+        out_ref[C_ALIVE] = aux[0].astype(jnp.float32)
+        out_ref[C_SPEC] = aux[1].astype(jnp.float32)
+        out_ref[C_INIMG] = st_ref[C_INIMG]
+
+
+# ---------------------------------------------------------------------------
+# XLA glue: coherence sort + image scatter
+# ---------------------------------------------------------------------------
+
+def _part1by2_4bit(x):
+    """Spread the low 4 bits of ``x``: bit b -> bit 3*b (morton helper)."""
+    return (((x & 8) << 6) | ((x & 4) << 4) | ((x & 2) << 2) | (x & 1))
+
+
+def _coherence_key(stf, lo, ext):
+    """(alive-first, origin-morton12, direction-octant3) sort key, i32."""
+    q = []
+    for c, l, e in zip((C_OX, C_OY, C_OZ), lo, ext):
+        q.append(jnp.clip((stf[c] - l) * (16.0 / e), 0.0, 15.0)
+                 .astype(jnp.int32))
+    morton = ((_part1by2_4bit(q[0]) << 2) | (_part1by2_4bit(q[1]) << 1)
+              | _part1by2_4bit(q[2]))
+    octant = ((stf[C_DX] < 0).astype(jnp.int32) * 4
+              + (stf[C_DY] < 0).astype(jnp.int32) * 2
+              + (stf[C_DZ] < 0).astype(jnp.int32))
+    key = (morton << 3) | octant
+    return jnp.where(stf[C_ALIVE] > 0.5, key, DEAD_KEY)
+
+
+def _sort_rays(st, ids, lo, ext):
+    n_rows, lanes = st.shape[1:]
+    r = n_rows * lanes
+    stf = st.reshape(N_CH, r)
+    idf = ids.reshape(2, r)
+    perm = jnp.argsort(_coherence_key(stf, lo, ext))
+    stf = jnp.take(stf, perm, axis=1)
+    idf = jnp.take(idf, perm, axis=1)
+    return stf.reshape(st.shape), idf.reshape(ids.shape)
+
+
+# ---------------------------------------------------------------------------
+# Launch
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "chunk_spp", "block", "n_mats",
+                     "mtypes", "n_light_slots", "max_bounces", "rr_depth",
+                     "use_nee", "use_mis", "sky_mode", "dof", "sort_every",
+                     "interpret"))
+def _launch_wavefront(blob, meta, nodef, nodei, prims, *, width, height,
+                      chunk_spp, block, n_mats, mtypes, n_light_slots,
+                      max_bounces, rr_depth, use_nee, use_mis, sky_mode,
+                      dof=False, sort_every=1, interpret=False):
+    tiles_x = pl.cdiv(width, TW)
+    tiles_y = pl.cdiv(height, TH)
+    tiles_per_img = tiles_x * tiles_y
+    n_tiles = tiles_per_img * chunk_spp
+    n_rows = n_tiles * TILE_ROWS
+    n_nodes = nodef.shape[0]
+    n_blocks = prims.shape[0]
+
+    st, ids = pl.pallas_call(
+        functools.partial(_raygen_kernel, width=width, height=height,
+                          tiles_x=tiles_x, tiles_per_img=tiles_per_img,
+                          dof=dof),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[],
+            out_specs=[
+                pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
+                             lambda i, *r: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, TILE_ROWS, TILE_LANES),
+                             lambda i, *r: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ]),
+        out_shape=[
+            jax.ShapeDtypeStruct((N_CH, n_rows, TILE_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((2, n_rows, TILE_LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, blob)
+
+    # Scene bounds for the origin quantization (root AABB).
+    lo = tuple(nodef[0, a] for a in range(3))
+    ext = tuple(jnp.maximum(nodef[0, 3 + a] - nodef[0, a], 1e-5)
+                for a in range(3))
+
+    for k in range(max_bounces):
+        if sort_every and k and (k - 1) % sort_every == 0:
+            st, ids = _sort_rays(st, ids, lo, ext)
+        st = pl.pallas_call(
+            functools.partial(
+                _bounce_kernel, k=k, n_nodes=n_nodes, block=block,
+                n_mats=n_mats, mtypes=mtypes, n_light_slots=n_light_slots,
+                rr_depth=rr_depth, use_nee=use_nee, use_mis=use_mis,
+                sky_mode=sky_mode),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # nodef
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # nodei
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # prims
+                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
+                                 lambda i, *r: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2, TILE_ROWS, TILE_LANES),
+                                 lambda i, *r: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
+                                       lambda i, *r: (0, i, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.SMEM((max(n_blocks, 1),), jnp.int32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((N_CH, n_rows, TILE_LANES),
+                                           jnp.float32),
+            interpret=interpret,
+        )(meta, blob, nodef, nodei, prims, st, ids)
+
+    # Scatter radiance by pixel id; padding lanes dump into slot H*W.
+    r = n_rows * TILE_LANES
+    stf = st.reshape(N_CH, r)
+    pid = ids.reshape(2, r)[0]
+    idx = jnp.where(stf[C_INIMG] > 0.5, pid, width * height)
+    rad = jnp.stack([stf[C_LR], stf[C_LG], stf[C_LB]], axis=-1)
+    img = jnp.zeros((width * height + 1, 3), jnp.float32).at[idx].add(rad)
+    return img[:width * height].reshape(height, width, 3)
+
+
+def render_wavefront(scene: SceneData, camera, width: int, height: int,
+                     start_sample: int, spp: int, *, max_bounces=8,
+                     rr_depth=3, use_nee=True, use_mis=True, seed=0,
+                     dof=None, block: int = BLOCK, sort_every: int = 1,
+                     chunk_rays: int = 4 << 20, interpret=False):
+    """Render ``spp`` samples sorted-wavefront style; (H,W,3) radiance sum.
+
+    Semantics and RNG streams are identical to ``megakernel_bvh.
+    render_tiles_bvh`` / ``integrator_soa`` (the sort is a permutation the
+    estimator cannot see).  ``sort_every=0`` disables binning (for A/B
+    measurement); ``chunk_rays`` bounds the in-flight ray stream.
+    """
+    blob, meta3, nodef, nodei, prims, static = _packed(scene, camera, block)
+    if dof is None:
+        dof = bool(blob[13] > 0.0)
+    tiles_per_img = pl.cdiv(width, TW) * pl.cdiv(height, TH)
+    rays_per_img = tiles_per_img * TILE
+    chunk_spp = max(1, min(spp, chunk_rays // rays_per_img))
+    img = None
+    s = 0
+    while s < spp:
+        n = min(chunk_spp, spp - s)
+        meta = jnp.asarray([start_sample + s, seed, int(meta3[2])], np.int32)
+        part = _launch_wavefront(
+            blob, meta, nodef, nodei, prims, width=width, height=height,
+            chunk_spp=n, block=static["block"], n_mats=static["n_mats"],
+            mtypes=static["mtypes"], n_light_slots=static["n_light_slots"],
+            max_bounces=max_bounces, rr_depth=rr_depth,
+            use_nee=bool(use_nee), use_mis=bool(use_mis),
+            sky_mode=scene.sky_mode, dof=bool(dof),
+            sort_every=int(sort_every), interpret=interpret)
+        img = part if img is None else img + part
+        s += n
+    return img
