@@ -239,11 +239,26 @@ def bench_config4(quick):
             "albedo_rmse_last": round(alb_rmse(), 5)}
 
 
+def _largest_band(height, width, lane_limit=131072):
+    """Largest row-band that divides ``height`` with <= lane_limit lanes.
+
+    The pure-XLA SoA BVH path device-faults above ~131k lanes per dispatch
+    on the v5e tunnel (960x135 renders, 960x270 faults the chip), so large
+    frames are rendered in row bands — the same banding the pixel-sharded
+    path uses, with RNG keyed on global row ids so the image is identical.
+    """
+    cap = max(1, lane_limit // width)
+    for b in range(min(cap, height), 0, -1):
+        if height % b == 0:
+            return b
+    return 1
+
+
 def bench_config5(quick):
     from spt_tpu import Camera
     from spt_tpu.diff import gradients as G
     from spt_tpu.engine.integrator_soa import render_megasample_soa
-    from spt_tpu.kernels import megakernel_bvh, megakernel_bvh_grad
+    from spt_tpu.kernels import megakernel_bvh, megakernel_bvh_grad, wavefront
     sd = scene_10k(2000 if quick else 10_000).compile()
     assert sd.bvh is not None
     cam = Camera.look_at((0, 0, -10), (0, 0, 60), fov_degrees=65)
@@ -253,15 +268,26 @@ def bench_config5(quick):
 
     SPP = 1 if quick else 4
     reps = 3 if quick else 1  # full runs are tens of seconds each
-    # Both engines measured: the pure-XLA SoA integrator (per-lane divergent
-    # BVH traversal, gather-based) and the Pallas packet-BVH megakernel.
-    fwd = jax.jit(lambda sc, ids: render_megasample_soa(
-        sc, cam, W, H, ids, **kw))
+    # Three forward engines measured: the pure-XLA SoA integrator (per-lane
+    # divergent BVH traversal, gather-based), the Pallas packet-BVH
+    # megakernel (full-depth, coherence decays with bounce), and the
+    # sorted-wavefront renderer (bounce-split kernels + ray binning, which
+    # restores packet coherence and compacts RR casualties).
+    band = _largest_band(H, W)
+    fwd_band = jax.jit(lambda sc, ids, ro: render_megasample_soa(
+        sc, cam, W, band, ids, row_offset=ro, full_height=H, **kw))
+
+    def fwd(sc, ids):
+        return jnp.concatenate([fwd_band(sc, ids, jnp.int32(ro))
+                                for ro in range(0, H, band)], axis=0)
+
     dt_f_soa = timed(fwd, sd, jnp.arange(SPP), reps=reps)
     interp = jax.default_backend() != "tpu"
     dt_f_pal = timed(lambda s0: megakernel_bvh.render_tiles_bvh(
         sd, cam, W, H, s0, SPP, interpret=interp, **kw), 0, reps=reps)
-    dt_f = min(dt_f_soa, dt_f_pal)
+    dt_f_wav = timed(lambda s0: wavefront.render_wavefront(
+        sd, cam, W, H, s0, SPP, interpret=interp, **kw), 0, reps=reps)
+    dt_f = min(dt_f_soa, dt_f_pal, dt_f_wav)
     fwd_rays = SPP * segs * W * H / dt_f
 
     # fwd+bwd: gradient w.r.t. all scene parameters; SoA jax.grad vs the
@@ -269,25 +295,39 @@ def bench_config5(quick):
     params = G.get_params(sd, ("albedo", "roughness", "centers", "radii"))
     GW, GH = (W // 2, H // 2)  # gradient pass at half res, standard practice
 
-    def loss(p, ids):
-        img = render_megasample_soa(G.apply_params(sd, p), cam, GW, GH, ids,
-                                    **kw)
+    gband = _largest_band(GH, GW)
+
+    def loss(p, ids, ro):
+        img = render_megasample_soa(G.apply_params(sd, p), cam, GW, gband,
+                                    ids, row_offset=ro, full_height=GH, **kw)
         return jnp.mean(img)
 
-    gfn = jax.jit(jax.grad(loss))
+    gfn_band = jax.jit(jax.grad(loss))
+
+    def gfn(p, ids):
+        out = None
+        for ro in range(0, GH, gband):
+            g = gfn_band(p, ids, jnp.int32(ro))
+            out = g if out is None else jax.tree.map(jnp.add, out, g)
+        return out
+
     dt_b_soa = timed(gfn, params, jnp.arange(SPP), reps=reps)
     dt_b_pal = timed(lambda s0: megakernel_bvh_grad.render_and_grad_bvh(
         sd, cam, GW, GH, s0, SPP, interpret=interp, **kw), 0, reps=reps)
     dt_b = min(dt_b_soa, dt_b_pal)
     fb_rays = SPP * segs * GW * GH / dt_b
+    fwd_engine = min([(dt_f_soa, "soa-xla"), (dt_f_pal, "pallas-bvh"),
+                      (dt_f_wav, "wavefront")])[1]
     return {"config": 5, "name": f"10k-prim BVH {W}x{H} d8 NEE+MIS",
             "spp": SPP, "quick": quick,
             "n_prims": sd.num_prims,
             "fwd_rays_per_s": round(fwd_rays),
             "fwd_bwd_rays_per_s": round(fb_rays),
-            "fwd_engine": "soa-xla" if dt_f_soa <= dt_f_pal else "pallas-bvh",
+            "fwd_engine": fwd_engine,
+            "soa_row_band": band,
             "wall_s_fwd_soa": round(dt_f_soa, 4),
             "wall_s_fwd_pallas_bvh": round(dt_f_pal, 4),
+            "wall_s_fwd_wavefront": round(dt_f_wav, 4),
             "wall_s_fwd_bwd_soa": round(dt_b_soa, 4),
             "wall_s_fwd_bwd_pallas_bvh": round(dt_b_pal, 4),
             "segments_per_path": round(segs, 3)}

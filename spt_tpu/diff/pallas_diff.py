@@ -1,13 +1,22 @@
 """Differentiable rendering through the fused Pallas kernels.
 
 ``make_pallas_render_fn`` returns a function ``render(params) -> image``
-whose forward pass is the Pallas forward megakernel and whose backward pass
-is the fused path-replay gradient kernel (kernels/megakernel_grad) — wired
-with ``jax.custom_vjp`` so it composes with ``jax.grad`` / optax exactly
-like the SoA integrator, at kernel speed.
+whose forward pass is a Pallas forward megakernel and whose backward pass
+is the matching fused path-replay gradient kernel — wired with
+``jax.custom_vjp`` so it composes with ``jax.grad`` / optax exactly like
+the SoA integrator, at kernel speed.
 
-Scope matches the megakernel: Cornell-class scenes (uniforms-in-SMEM),
-gradients for albedo / emission / roughness / centers / radii (+ sky).
+Two kernel families behind one API, routed by scene size:
+  * <= SMEM_PRIM_CAP spheres: uniforms-in-SMEM megakernel
+    (kernels/megakernel + megakernel_grad) — Cornell-class scenes.
+  * larger: packet-BVH megakernel (kernels/megakernel_bvh +
+    megakernel_bvh_grad) with in-kernel skip-link traversal.  The BVH
+    *topology* is packed once from the closure scene (discrete, like any
+    BVH under deformation — the reference rebuilds Embree per scene edit,
+    CPUPathTracer.cpp:374-403); leaf attribute tables and the uniform blob
+    are re-packed from ``params`` with traced gathers, so gradients flow.
+
+Gradients for albedo / emission / roughness / centers / radii (+ sky).
 """
 
 from __future__ import annotations
@@ -20,10 +29,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.scene import SceneData
-from ..kernels import megakernel, megakernel_grad, physics
+from ..kernels import (megakernel, megakernel_bvh, megakernel_bvh_grad,
+                       megakernel_grad, physics)
 from . import gradients as G
 
 PARAM_KEYS = ("albedo", "emission", "roughness", "centers", "radii")
+
+# Above this the per-sphere attribute unroll no longer fits SMEM uniforms;
+# route to the packet-BVH kernel pair (same cap as engine/pallas_backend).
+SMEM_PRIM_CAP = 128
 
 
 def make_pallas_render_fn(scene: SceneData, camera, width: int, height: int,
@@ -37,6 +51,11 @@ def make_pallas_render_fn(scene: SceneData, camera, width: int, height: int,
     closed over.  ``start_sample`` rotates the RNG streams across optimizer
     steps (a traced scalar is fine).
     """
+    if scene.capacity > SMEM_PRIM_CAP:
+        return _make_bvh_render_fn(
+            scene, camera, width, height, spp=spp, max_bounces=max_bounces,
+            rr_depth=rr_depth, use_nee=use_nee, use_mis=use_mis, seed=seed,
+            interpret=interpret)
     mtypes, light_prims = megakernel.pack_scene_static(scene)
     n_prims = scene.capacity
     kw = dict(width=width, height=height, spp=spp, n_prims=n_prims,
@@ -97,6 +116,65 @@ def make_pallas_render_fn(scene: SceneData, camera, width: int, height: int,
         }
         g_params = {k: full[k] for k in params}
         return g_params, None
+
+    render.defvjp(render_fwd, render_bwd)
+    return render
+
+
+def _make_bvh_render_fn(scene: SceneData, camera, width: int, height: int,
+                        *, spp: int, max_bounces: int, rr_depth: int,
+                        use_nee: bool, use_mis: bool, seed: int,
+                        interpret: bool, block: int = megakernel_bvh.BLOCK):
+    """Custom-VJP render through the packet-BVH kernel pair (>128 prims).
+
+    The BVH topology (node arrays + block->prim index map) is built once
+    host-side from the closure scene; the uniform blob and leaf attribute
+    tables are re-packed from ``params`` each call with traced gathers
+    (pack_blob_jnp / pack_prims_jnp), so the forward sees updated
+    parameters.  The backward runs the fused path-replay gradient kernel
+    and maps its kernel-layout grads straight back to scene parameters
+    (map_raw_grads undoes the leaf gather analytically).
+    """
+    blob0, meta3, nodef, nodei, _prims0, static = \
+        megakernel_bvh.pack_bvh_scene(scene, camera, block)
+    nodef = jnp.asarray(nodef)
+    nodei = jnp.asarray(nodei)
+    kw = dict(width=width, height=height, spp=spp, block=static["block"],
+              n_mats=static["n_mats"], mtypes=static["mtypes"],
+              n_light_slots=static["n_light_slots"],
+              max_bounces=max_bounces, rr_depth=rr_depth,
+              use_nee=bool(use_nee), use_mis=bool(use_mis),
+              sky_mode=scene.sky_mode, dof=bool(blob0[13] > 0.0),
+              interpret=interpret)
+    inv_spp = 1.0 / spp
+    meta0 = jnp.asarray([0, seed, static["n_light_slots"]], jnp.int32)
+
+    def _tables(params):
+        sc = G.apply_params(scene, params)
+        return (megakernel_bvh.pack_blob_jnp(sc, camera, static),
+                megakernel_bvh.pack_prims_jnp(sc, static))
+
+    def _meta(start_sample):
+        return meta0.at[0].set(jnp.asarray(start_sample, jnp.int32))
+
+    @jax.custom_vjp
+    def render(params, start_sample):
+        blob, prims = _tables(params)
+        return megakernel_bvh._launch_bvh(
+            blob, _meta(start_sample), nodef, nodei, prims, **kw) * inv_spp
+
+    def render_fwd(params, start_sample):
+        return render(params, start_sample), (params, start_sample)
+
+    def render_bwd(res, ct):
+        params, start_sample = res
+        blob, prims = _tables(params)
+        ct_flat = megakernel_bvh_grad.swizzle_ct(ct * inv_spp, width, height)
+        _, grad_s, grad_g = megakernel_bvh_grad._launch_bvh_grad(
+            blob, _meta(start_sample), nodef, nodei, prims, ct_flat, **kw)
+        full = megakernel_bvh_grad.map_raw_grads(scene, static, grad_s,
+                                                 grad_g)
+        return {k: full[k] for k in params}, None
 
     render.defvjp(render_fwd, render_bwd)
     return render

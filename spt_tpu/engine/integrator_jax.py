@@ -116,6 +116,42 @@ def sample_env_map(env, d):
             + (c10 * (1 - fu) + c11 * fu) * fv)
 
 
+def sample_env_map_soa(env, dx, dy, dz):
+    """``sample_env_map`` on component arrays -> (r, g, b) components.
+
+    Bit-identical math to ``sample_env_map`` but never materializes a
+    trailing-3 tensor (TPU pads 3 lanes to 128 — see integrator_soa
+    docstring); gathers run on flat per-channel tables instead.
+    """
+    he, we = env.shape[0], env.shape[1]
+    flat = env.reshape(he * we, 3)
+    u = (jnp.arctan2(dx, dz) * (0.5 / jnp.pi) + 0.5) * we - 0.5
+    v = (jnp.arccos(jnp.clip(dy, -1.0, 1.0)) / jnp.pi) * he - 0.5
+    v = jnp.clip(v, 0.0, he - 1.0)
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    fu = u - u0
+    fv = v - v0
+    u0i = jnp.mod(u0.astype(jnp.int32), we)
+    u1i = jnp.mod(u0i + 1, we)
+    v0i = jnp.clip(v0.astype(jnp.int32), 0, he - 1)
+    v1i = jnp.clip(v0i + 1, 0, he - 1)
+    i00 = v0i * we + u0i
+    i01 = v0i * we + u1i
+    i10 = v1i * we + u0i
+    i11 = v1i * we + u1i
+    out = []
+    for c in range(3):
+        tab = flat[:, c]
+        c00 = jnp.take(tab, i00)
+        c01 = jnp.take(tab, i01)
+        c10 = jnp.take(tab, i10)
+        c11 = jnp.take(tab, i11)
+        out.append((c00 * (1 - fu) + c01 * fu) * (1 - fv)
+                   + (c10 * (1 - fu) + c11 * fu) * fv)
+    return tuple(out)
+
+
 # ---------------------------------------------------------------------------
 # Reference-semantics integrator (parity mode).
 # ---------------------------------------------------------------------------

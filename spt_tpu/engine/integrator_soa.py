@@ -163,10 +163,8 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
             c = scene.sky_params[0]
             return c[0] * one, c[1] * one, c[2] * one
         if scene.sky_mode == SKY_ENVMAP and scene.env_map is not None:
-            from .integrator_jax import sample_env_map
-            rgb = sample_env_map(scene.env_map,
-                                 jnp.stack([dx, dy, dz], axis=-1))
-            return rgb[..., 0], rgb[..., 1], rgb[..., 2]
+            from .integrator_jax import sample_env_map_soa
+            return sample_env_map_soa(scene.env_map, dx, dy, dz)
         z = jnp.zeros_like(dx)
         return z, z, z
 

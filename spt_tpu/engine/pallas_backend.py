@@ -5,10 +5,11 @@ logic of PathTracerBase; only the jitted sample function differs.  On
 non-TPU platforms the kernel runs in Pallas interpret mode so the backend
 is testable anywhere; on TPU it compiles via Mosaic.
 
-Scope notes (v1): the megakernel covers the full-feature integrator for
-Cornell-class scenes (uniforms-in-SMEM design, ≤ ~128 spheres) — larger
-scenes and "reference" integrator mode transparently use the pure-JAX
-path, keeping the facade contract uniform.
+Routing: Cornell-class scenes (≤ ~128 spheres) use the uniforms-in-SMEM
+full-depth megakernel; larger scenes the packet-BVH megakernel; env-map
+scenes the sorted-wavefront engine (env lookups at bounce boundaries).
+Only "reference" integrator mode uses the pure-JAX path (bit-exact
+reference semantics are its contract, not speed).
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ import jax
 from ..core.camera import Camera
 from ..core.scene import SKY_ENVMAP
 from ..kernels import megakernel
-from ..utils.log import Log
+from ..utils.log import Log  # noqa: F401  (fallback warn hook, kept)
 from .api import JaxPathTracer, register_backend
 
 # Above this capacity the SMEM uniform blob gets too large; delegate to the
@@ -47,12 +48,18 @@ class PallasPathTracer(JaxPathTracer):
         s = self._settings
         if s.integrator == "reference":
             return super()._render_samples(start_sample, spp)
-        if self._scene_data.sky_mode == SKY_ENVMAP:
-            # Env-map lighting needs texture gathers — pure-JAX path for now.
-            self._warn_fallback("environment-map lighting is not in-kernel "
-                                "yet")
-            return super()._render_samples(start_sample, spp)
         camera = self._camera or self._default_camera()
+        if self._scene_data.sky_mode == SKY_ENVMAP:
+            # Env-map lighting: the sorted-wavefront engine keeps ray state
+            # in HBM between bounce kernels, so miss lanes get their bilinear
+            # env lookup in XLA at the bounce boundary — no per-lane texture
+            # gathers inside Mosaic.
+            from ..kernels import wavefront
+            return wavefront.render_wavefront(
+                self._scene_data, camera, s.width, s.height, start_sample,
+                spp, max_bounces=s.max_bounces,
+                rr_depth=s.russian_roulette_depth, use_nee=s.use_nee,
+                use_mis=s.use_mis, seed=s.seed, interpret=not _on_tpu())
         if self._scene_data.capacity > MAX_PALLAS_PRIMS:
             # Large scenes: the BVH traversal megakernel.
             from ..kernels import megakernel_bvh

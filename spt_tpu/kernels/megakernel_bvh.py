@@ -166,6 +166,59 @@ def pack_bvh_scene(scene: SceneData, camera, block: int = BLOCK):
             prims, static)
 
 
+def pack_blob_jnp(scene: SceneData, camera, static):
+    """Traceable (jit/grad-compatible) packing of the BVH kernel's uniform
+    blob — same layout as ``pack_bvh_scene`` (camera + sky + material table
+    + light slots) but built from device arrays so scene parameters stay
+    differentiable through the packing."""
+    def vec3(v):
+        return jnp.asarray(v, jnp.float32).reshape(3)
+
+    def s1(v, default):
+        return jnp.asarray(getattr(camera, v, default),
+                           jnp.float32).reshape(1)
+
+    cam = jnp.concatenate([
+        vec3(camera.position), vec3(camera.right), vec3(camera.up),
+        vec3(camera.forward),
+        jnp.asarray(camera.tan_half_fov, jnp.float32).reshape(1),
+        s1("aperture", 0.0), s1("focus_dist", 1.0),
+        jnp.zeros((_SKY_OFF - 15,), jnp.float32)])
+    sky = jnp.asarray(scene.sky_params, jnp.float32).reshape(-1)
+    mats = jnp.concatenate([
+        scene.materials.albedo, scene.materials.emission,
+        scene.materials.roughness[:, None],
+        jnp.maximum(scene.materials.ior, 1.001)[:, None]],
+        axis=1).astype(jnp.float32)  # (M, _MAT_STRIDE)
+    parts = [cam, sky, mats.reshape(-1)]
+    lp = static["light_prims"]
+    if lp:
+        for p in lp:
+            parts.append(jnp.concatenate([
+                scene.centers[p].astype(jnp.float32),
+                scene.radii[p].reshape(1).astype(jnp.float32),
+                scene.materials.emission[scene.mat_id[p]]
+                .astype(jnp.float32)]))
+    else:
+        parts.append(jnp.zeros((7,), jnp.float32))
+    return jnp.concatenate(parts)
+
+
+def pack_prims_jnp(scene: SceneData, static):
+    """Traceable leaf-block prim table — same layout/padding sentinels as
+    ``pack_bvh_scene``'s host table, gathered from device arrays via the
+    static block->prim index map (so geometry/material params stay
+    differentiable; tree topology itself is static)."""
+    ids = np.asarray(static["block_prim_ids"])      # (n_blocks, block)
+    okf = jnp.asarray((ids >= 0).astype(np.float32))
+    idx = jnp.asarray(np.where(ids >= 0, ids, 0))
+    rows = [scene.centers[idx, a] * okf for a in range(3)]
+    rows.append(scene.radii[idx] * okf)
+    rows.append(jnp.where(okf > 0, scene.mat_id[idx].astype(jnp.float32),
+                          -1.0))
+    return jnp.stack(rows, axis=1).astype(jnp.float32)
+
+
 def _safe_inv(v):
     """1/v with huge-but-finite values at v == 0 (slab-test convention)."""
     return jnp.where(jnp.abs(v) > 1e-20, 1.0 / jnp.where(

@@ -388,7 +388,16 @@ def render_and_grad_bvh(scene, camera, width, height, start_sample, spp, *,
         n_light_slots=static["n_light_slots"], max_bounces=max_bounces,
         rr_depth=rr_depth, use_nee=bool(use_nee), use_mis=bool(use_mis),
         sky_mode=scene.sky_mode, dof=bool(dof), interpret=interpret)
+    return img, map_raw_grads(scene, static, grad_s, grad_g)
 
+
+def map_raw_grads(scene, static, grad_s, grad_g):
+    """Kernel-layout gradients -> per-scene-parameter gradient dict.
+
+    grad_s: flat scalar-uniform grads (sky, material rows, light slots);
+    grad_g: (n_blocks, 8, block) leaf-table geometry grads.  Shared by
+    ``render_and_grad_bvh`` and the custom-VJP wrapper in diff/pallas_diff.
+    """
     n_mats = static["n_mats"]
     n_sky = physics.N_SKY_ATTRS
     sky_g = grad_s[:n_sky].reshape(2, 3)
@@ -432,4 +441,4 @@ def render_and_grad_bvh(scene, camera, width, height, start_sample, spp, *,
         "ior": ior_g,
         "sky_params": sky_g,
     }
-    return img, grads
+    return grads

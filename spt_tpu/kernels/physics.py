@@ -59,6 +59,12 @@ class BounceCfg(NamedTuple):
     use_mis: bool
     sky_mode: int
     n_light_slots: int
+    # When set, trace_bounce returns a 3-tuple aux (active, prev_spec,
+    # missed-this-bounce).  The wavefront renderer uses the miss mask to add
+    # environment-map radiance in XLA between bounce kernels (texture
+    # gathers stay out of Mosaic); sky_radiance returns zero for SKY_ENVMAP
+    # so nothing is double-counted.
+    want_miss: bool = False
 
 
 def _dot(ax, ay, az, bx, by, bz):
@@ -463,5 +469,7 @@ def trace_bounce(theta, state, aux, u, nl, cfg: BounceCfg,
 
     new_state = (ox, oy, oz, dx, dy, dz, th_r, th_g, th_b,
                  rad_r, rad_g, rad_b, prev_pdf)
+    if cfg.want_miss:
+        return new_state, (active_n, prev_spec, miss)
     new_aux = (active_n, prev_spec)
     return new_state, new_aux

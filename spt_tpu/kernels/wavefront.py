@@ -13,9 +13,16 @@ coherent again.
                      -> bounce-k kernel ] x depth -> scatter-add by pixel id
 
 * **One bounce per pallas_call, state in HBM.**  Ray state is a single
-  (16, R/128, 128) f32 tensor (o, d, throughput, radiance, prev-pdf, alive,
-  prev-specular, in-image) plus a (2, R/128, 128) i32 tensor (pixel id,
-  sample id).  Each grid step processes an (8, 128) tile: the same packet
+  (17, R/128, 128) f32 tensor (o, d, throughput, radiance, prev-pdf, alive,
+  prev-specular, in-image, missed-this-bounce) plus a (2, R/128, 128) i32
+  tensor (pixel id, sample id).
+
+* **Environment maps ride the bounce boundary.**  In SKY_ENVMAP mode the
+  kernel flags miss lanes (C_MISS) instead of shading them; the XLA glue
+  between bounce kernels adds ``throughput * bilinear_env(direction)`` on
+  those lanes (texture gathers stay out of Mosaic, where dynamic per-lane
+  gathers are hostile).  This closes the last pallas-backend fallback: env
+  scenes render at kernel speed.  Each grid step processes an (8, 128) tile: the same packet
   traversal and shared bounce physics as the megakernel
   (physics.trace_bounce with the BVH intersectors plugged in), with the
   bounce index k static per call so RNG dimensions stay compile-time.
@@ -68,7 +75,8 @@ C_TR, C_TG, C_TB = 6, 7, 8
 C_LR, C_LG, C_LB = 9, 10, 11
 C_PDF = 12
 C_ALIVE, C_SPEC, C_INIMG = 13, 14, 15
-N_CH = 16
+C_MISS = 16     # missed-this-bounce flag: the env-map hook consumes + clears
+N_CH = 17
 
 DEAD_KEY = jnp.int32(1 << 20)   # sorts after every live 15-bit key
 
@@ -106,7 +114,7 @@ def _raygen_kernel(meta_ref, blob_ref, st_ref, ids_ref, *, width, height,
     zero = jnp.zeros_like(ox)
     img_f = in_image.astype(jnp.float32)
     for c, v in enumerate((ox, oy, oz, dx, dy, dz, one, one, one,
-                           zero, zero, zero, zero, img_f, one, img_f)):
+                           zero, zero, zero, zero, img_f, one, img_f, zero)):
         st_ref[c] = v
     ids_ref[0] = pid.astype(jnp.int32)
     ids_ref[1] = sample.astype(jnp.int32)
@@ -125,6 +133,7 @@ def _bounce_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
     def _():   # dead tile: copy state through untouched
         for c in range(N_CH):
             out_ref[c] = st_ref[c]
+        out_ref[C_MISS] = jnp.zeros_like(st_ref[C_MISS])
 
     @pl.when(any_alive)
     def _():
@@ -145,10 +154,11 @@ def _bounce_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
             block, n_mats, mtypes)
 
         u = _uniforms(pid, sample, seed, k)
+        want_miss = sky_mode == physics.SKY_ENVMAP
         cfg = physics.BounceCfg(
             mtypes=(), k=k, rr_depth=rr_depth, use_nee=use_nee,
             use_mis=use_mis, sky_mode=sky_mode,
-            n_light_slots=n_light_slots)
+            n_light_slots=n_light_slots, want_miss=want_miss)
         state, aux = physics.trace_bounce(
             theta, state, aux, u, nl, cfg,
             intersect_fn=intersect_fn, occluded_fn=occluded_fn)
@@ -158,6 +168,8 @@ def _bounce_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
         out_ref[C_ALIVE] = aux[0].astype(jnp.float32)
         out_ref[C_SPEC] = aux[1].astype(jnp.float32)
         out_ref[C_INIMG] = st_ref[C_INIMG]
+        out_ref[C_MISS] = (aux[2].astype(jnp.float32) if want_miss
+                           else jnp.zeros_like(st_ref[C_MISS]))
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +196,25 @@ def _coherence_key(stf, lo, ext):
     return jnp.where(stf[C_ALIVE] > 0.5, key, DEAD_KEY)
 
 
+def _add_env_radiance(st, env):
+    """Consume C_MISS: radiance += throughput * env(direction) per miss lane.
+
+    Runs in XLA between bounce kernels — the bilinear texture gathers stay
+    out of Mosaic, and miss lanes still carry their pre-bounce direction and
+    throughput (trace_bounce only overwrites state on surviving lanes).
+    Matches integrator_soa's SKY_ENVMAP radiance exactly (same
+    sample_env_map math on the same RNG-stream directions).
+    """
+    from ..engine.integrator_jax import sample_env_map_soa
+    miss = st[C_MISS] > 0.5
+    er, eg, eb = sample_env_map_soa(env, st[C_DX], st[C_DY], st[C_DZ])
+    zero = jnp.zeros_like(er)
+    st = st.at[C_LR].add(jnp.where(miss, st[C_TR] * er, zero))
+    st = st.at[C_LG].add(jnp.where(miss, st[C_TG] * eg, zero))
+    st = st.at[C_LB].add(jnp.where(miss, st[C_TB] * eb, zero))
+    return st.at[C_MISS].set(zero)
+
+
 def _sort_rays(st, ids, lo, ext):
     n_rows, lanes = st.shape[1:]
     r = n_rows * lanes
@@ -205,7 +236,7 @@ def _sort_rays(st, ids, lo, ext):
                      "mtypes", "n_light_slots", "max_bounces", "rr_depth",
                      "use_nee", "use_mis", "sky_mode", "dof", "sort_every",
                      "interpret"))
-def _launch_wavefront(blob, meta, nodef, nodei, prims, *, width, height,
+def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
                       chunk_spp, block, n_mats, mtypes, n_light_slots,
                       max_bounces, rr_depth, use_nee, use_mis, sky_mode,
                       dof=False, sort_every=1, interpret=False):
@@ -277,6 +308,8 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, *, width, height,
                                            jnp.float32),
             interpret=interpret,
         )(meta, blob, nodef, nodei, prims, st, ids)
+        if sky_mode == physics.SKY_ENVMAP:
+            st = _add_env_radiance(st, env)
 
     # Scatter radiance by pixel id; padding lanes dump into slot H*W.
     r = n_rows * TILE_LANES
@@ -303,6 +336,9 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
     blob, meta3, nodef, nodei, prims, static = _packed(scene, camera, block)
     if dof is None:
         dof = bool(blob[13] > 0.0)
+    env = scene.env_map
+    if env is None or scene.sky_mode != physics.SKY_ENVMAP:
+        env = jnp.zeros((1, 1, 3), jnp.float32)  # unused placeholder
     tiles_per_img = pl.cdiv(width, TW) * pl.cdiv(height, TH)
     rays_per_img = tiles_per_img * TILE
     chunk_spp = max(1, min(spp, chunk_rays // rays_per_img))
@@ -312,7 +348,7 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
         n = min(chunk_spp, spp - s)
         meta = jnp.asarray([start_sample + s, seed, int(meta3[2])], np.int32)
         part = _launch_wavefront(
-            blob, meta, nodef, nodei, prims, width=width, height=height,
+            blob, meta, nodef, nodei, prims, env, width=width, height=height,
             chunk_spp=n, block=static["block"], n_mats=static["n_mats"],
             mtypes=static["mtypes"], n_light_slots=static["n_light_slots"],
             max_bounces=max_bounces, rr_depth=rr_depth,

@@ -72,3 +72,71 @@ def test_nonaligned_resolution(scene300):
     assert np.isfinite(img).all()
     close = np.abs(img - ref) < 1e-3 + 0.05 * np.abs(ref)
     assert close.mean() > 0.99
+
+
+def _env_gradient(he=16, we=32):
+    """Smooth anisotropic test env map (distinct radiance per direction)."""
+    v = np.linspace(0.0, 1.0, he, dtype=np.float32)[:, None]
+    u = np.linspace(0.0, 1.0, we, dtype=np.float32)[None, :]
+    r = 0.2 + 0.8 * v * np.ones_like(u)
+    g = 0.3 + 0.5 * np.sin(2 * np.pi * u) ** 2 * np.ones_like(v)
+    b = 0.6 + 0.4 * u * np.ones_like(v)
+    return np.stack([r, g, b], axis=-1)
+
+
+@pytest.fixture(scope="module")
+def scene_env():
+    from bench_suite import scene_10k
+    sc = scene_10k(150)
+    sc.set_environment_map(_env_gradient())
+    return sc.compile(use_bvh=True)
+
+
+def test_wavefront_env_map_matches_soa(scene_env):
+    """SKY_ENVMAP fast path: miss lanes get their env lookup between bounce
+    kernels; radiance must match the SoA integrator's in-loop lookup."""
+    img_w = np.asarray(wavefront.render_wavefront(
+        scene_env, CAM, W, H, 0, 2, interpret=True, **KW))
+    img_s = np.asarray(render_megasample_soa(
+        scene_env, CAM, W, H, jnp.arange(2), **KW))
+    assert np.isfinite(img_w).all()
+    assert img_w.sum() > 0.0   # env light actually contributes
+    close = np.abs(img_w - img_s) < 1e-3 + 0.05 * np.abs(img_s)
+    assert close.mean() > 0.99, f"only {close.mean():.4f} of pixels close"
+
+
+def test_wavefront_env_sort_invisible(scene_env):
+    """The miss-flag channel must survive (be cleared before) the sort."""
+    a = np.asarray(wavefront.render_wavefront(
+        scene_env, CAM, W, H, 0, 1, sort_every=1, interpret=True, **KW))
+    b = np.asarray(wavefront.render_wavefront(
+        scene_env, CAM, W, H, 0, 1, sort_every=0, interpret=True, **KW))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_backend_routes_env_to_wavefront(scene_env):
+    """backend="pallas" + SKY_ENVMAP must use the wavefront engine (no
+    silent pure-JAX fallback) and agree with the jax backend."""
+    import spt_tpu
+
+    def build(backend):
+        eng = spt_tpu.create_path_tracer(backend)
+        sc = spt_tpu.Scene()
+        rs = np.random.RandomState(3)
+        for i in range(8):
+            m = sc.add_material("lambert",
+                                albedo=tuple(rs.uniform(0.2, 0.9, 3)))
+            c = rs.uniform(-3, 3, 3) + np.asarray([0, 0, 8.0])
+            sc.create_sphere(f"s{i}", tuple(c), 0.8, m)
+        sc.set_environment_map(_env_gradient())
+        eng.set_scene(sc)
+        st = spt_tpu.RenderSettings(width=32, height=32,
+                                    samples_per_pixel=2, max_bounces=3)
+        eng.set_settings(st)
+        eng.render(spp=2)
+        return eng.get_render_result().image_f32
+    img_p = np.asarray(build("pallas"))
+    img_j = np.asarray(build("jax"))
+    assert np.isfinite(img_p).all()
+    close = np.abs(img_p - img_j) < 1e-3 + 0.05 * np.abs(img_j)
+    assert close.mean() > 0.98
