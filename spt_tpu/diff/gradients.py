@@ -32,16 +32,19 @@ import jax.numpy as jnp
 from ..core.scene import SceneData
 from ..engine import integrator_jax
 
-PARAM_FIELDS = ("albedo", "emission", "roughness", "centers", "radii")
+PARAM_FIELDS = ("albedo", "emission", "roughness", "ior",
+                "centers", "radii", "sky_params")
+_MAT_FIELDS = ("albedo", "emission", "roughness", "ior")
+_SCENE_FIELDS = ("centers", "radii", "sky_params")
 
 
 def get_params(scene: SceneData, fields=("albedo", "roughness")) -> dict:
     """Extract an optimizable parameter dict from a compiled scene."""
     out = {}
     for f in fields:
-        if f in ("albedo", "emission", "roughness"):
+        if f in _MAT_FIELDS:
             out[f] = getattr(scene.materials, f)
-        elif f in ("centers", "radii"):
+        elif f in _SCENE_FIELDS:
             out[f] = getattr(scene, f)
         else:
             raise ValueError(f"unknown param field {f!r}")
@@ -51,13 +54,11 @@ def get_params(scene: SceneData, fields=("albedo", "roughness")) -> dict:
 def apply_params(scene: SceneData, params: dict) -> SceneData:
     """Rebuild a SceneData with parameter leaves swapped in (differentiable)."""
     mats = scene.materials
-    mat_updates = {k: v for k, v in params.items()
-                   if k in ("albedo", "emission", "roughness")}
+    mat_updates = {k: v for k, v in params.items() if k in _MAT_FIELDS}
     if mat_updates:
         mats = dataclasses.replace(mats, **mat_updates)
-    geo_updates = {k: v for k, v in params.items()
-                   if k in ("centers", "radii")}
-    return dataclasses.replace(scene, materials=mats, **geo_updates)
+    scene_updates = {k: v for k, v in params.items() if k in _SCENE_FIELDS}
+    return dataclasses.replace(scene, materials=mats, **scene_updates)
 
 
 def clip_params(params: dict) -> dict:
@@ -71,6 +72,10 @@ def clip_params(params: dict) -> dict:
         out["emission"] = jnp.maximum(out["emission"], 0.0)
     if "radii" in out:
         out["radii"] = jnp.maximum(out["radii"], 1e-3)
+    if "ior" in out:
+        out["ior"] = jnp.clip(out["ior"], 1.001, 3.0)
+    if "sky_params" in out:
+        out["sky_params"] = jnp.maximum(out["sky_params"], 0.0)
     return out
 
 

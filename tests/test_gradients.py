@@ -80,6 +80,30 @@ def test_radius_gradient_matches_fd():
     _fd_check(render, params, ids, "radii", (3,), 1e-4, rtol=0.1, atol=1e-2)
 
 
+def test_ior_gradient_matches_fd():
+    scene = _scene_with_light()
+    glass = scene.add_material("glass", albedo=(0.95,) * 3, ior=1.5)
+    scene.create_sphere("gball", (0.0, 0.6, 3.2), 0.5, glass)
+    sd = scene.compile()
+    cam = Camera.look_at((0, 1.0, -1.0), (0, 0.8, 4.0), fov_degrees=55)
+    render = G.make_render_fn(sd, cam, 24, 18, max_bounces=3)
+    params = G.get_params(sd, ("ior",))
+    ids = jnp.arange(4)
+    _fd_check(render, params, ids, "ior", (3,), 1e-3, rtol=5e-2, atol=1e-3)
+
+
+def test_sky_params_gradient_matches_fd():
+    scene = _scene_with_light()
+    scene.set_sky(spt_tpu.SKY_GRADIENT)
+    sd = scene.compile()
+    cam = Camera.look_at((0, 1.0, -1.0), (0, 0.8, 4.0), fov_degrees=55)
+    render = G.make_render_fn(sd, cam, 24, 18, max_bounces=3)
+    params = G.get_params(sd, ("sky_params",))
+    ids = jnp.arange(4)
+    _fd_check(render, params, ids, "sky_params", (0, 1), 1e-2, rtol=1e-2)
+    _fd_check(render, params, ids, "sky_params", (1, 2), 1e-2, rtol=1e-2)
+
+
 def test_center_gradient_is_finite_and_nonzero():
     render, params, ids = _setup(("centers",))
     g = jax.grad(lambda p: jnp.sum(render(p, ids)))(params)["centers"]
