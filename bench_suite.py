@@ -268,56 +268,69 @@ def bench_config5(quick):
 
     SPP = 1 if quick else 4
     reps = 3 if quick else 1  # full runs are tens of seconds each
-    # Three forward engines measured: the pure-XLA SoA integrator (per-lane
-    # divergent BVH traversal, gather-based), the Pallas packet-BVH
-    # megakernel (full-depth, coherence decays with bounce), and the
-    # sorted-wavefront renderer (bounce-split kernels + ray binning, which
-    # restores packet coherence and compacts RR casualties).
-    band = _largest_band(H, W)
-    fwd_band = jax.jit(lambda sc, ids, ro: render_megasample_soa(
-        sc, cam, W, band, ids, row_offset=ro, full_height=H, **kw))
-
-    def fwd(sc, ids):
-        return jnp.concatenate([fwd_band(sc, ids, jnp.int32(ro))
-                                for ro in range(0, H, band)], axis=0)
-
-    dt_f_soa = timed(fwd, sd, jnp.arange(SPP), reps=reps)
     interp = jax.default_backend() != "tpu"
+    # Three forward engines measured: the Pallas packet-BVH megakernel
+    # (full-depth, coherence decays with bounce), the sorted-wavefront
+    # renderer (bounce-split kernels + ray binning, which restores packet
+    # coherence and compacts RR casualties), and the pure-XLA SoA
+    # integrator (per-lane divergent BVH traversal, gather-based).  The
+    # Pallas engines run first: the SoA gather path can fault the v5e
+    # worker on large dispatches even row-banded (any fault then poisons
+    # every later TPU op in the process), so its measurements are guarded
+    # and ordered last — a crash costs the soa columns, not the row.
     dt_f_pal = timed(lambda s0: megakernel_bvh.render_tiles_bvh(
         sd, cam, W, H, s0, SPP, interpret=interp, **kw), 0, reps=reps)
     dt_f_wav = timed(lambda s0: wavefront.render_wavefront(
         sd, cam, W, H, s0, SPP, interpret=interp, **kw), 0, reps=reps)
-    dt_f = min(dt_f_soa, dt_f_pal, dt_f_wav)
-    fwd_rays = SPP * segs * W * H / dt_f
 
-    # fwd+bwd: gradient w.r.t. all scene parameters; SoA jax.grad vs the
-    # fused path-replay BVH kernel.
+    # fwd+bwd: gradient w.r.t. all scene parameters via the fused
+    # path-replay BVH kernel (SoA jax.grad measured in the guarded block).
     params = G.get_params(sd, ("albedo", "roughness", "centers", "radii"))
     GW, GH = (W // 2, H // 2)  # gradient pass at half res, standard practice
-
-    gband = _largest_band(GH, GW)
-
-    def loss(p, ids, ro):
-        img = render_megasample_soa(G.apply_params(sd, p), cam, GW, gband,
-                                    ids, row_offset=ro, full_height=GH, **kw)
-        return jnp.mean(img)
-
-    gfn_band = jax.jit(jax.grad(loss))
-
-    def gfn(p, ids):
-        out = None
-        for ro in range(0, GH, gband):
-            g = gfn_band(p, ids, jnp.int32(ro))
-            out = g if out is None else jax.tree.map(jnp.add, out, g)
-        return out
-
-    dt_b_soa = timed(gfn, params, jnp.arange(SPP), reps=reps)
     dt_b_pal = timed(lambda s0: megakernel_bvh_grad.render_and_grad_bvh(
         sd, cam, GW, GH, s0, SPP, interpret=interp, **kw), 0, reps=reps)
-    dt_b = min(dt_b_soa, dt_b_pal)
+
+    band = _largest_band(H, W)
+    gband = _largest_band(GH, GW)
+    dt_f_soa = dt_b_soa = None
+    try:
+        fwd_band = jax.jit(lambda sc, ids, ro: render_megasample_soa(
+            sc, cam, W, band, ids, row_offset=ro, full_height=H, **kw))
+
+        def fwd(sc, ids):
+            return jnp.concatenate([fwd_band(sc, ids, jnp.int32(ro))
+                                    for ro in range(0, H, band)], axis=0)
+
+        dt_f_soa = timed(fwd, sd, jnp.arange(SPP), reps=reps)
+
+        def loss(p, ids, ro):
+            img = render_megasample_soa(
+                G.apply_params(sd, p), cam, GW, gband, ids, row_offset=ro,
+                full_height=GH, **kw)
+            return jnp.mean(img)
+
+        gfn_band = jax.jit(jax.grad(loss))
+
+        def gfn(p, ids):
+            out = None
+            for ro in range(0, GH, gband):
+                g = gfn_band(p, ids, jnp.int32(ro))
+                out = g if out is None else jax.tree.map(jnp.add, out, g)
+            return out
+
+        dt_b_soa = timed(gfn, params, jnp.arange(SPP), reps=reps)
+    except Exception as e:  # device fault: keep the Pallas-engine row
+        log(f"config 5: SoA engine failed ({type(e).__name__}); "
+            "recording Pallas engines only")
+
+    cands = [(dt_f_pal, "pallas-bvh"), (dt_f_wav, "wavefront")]
+    if dt_f_soa is not None:
+        cands.append((dt_f_soa, "soa-xla"))
+    dt_f, fwd_engine = min(cands)
+    fwd_rays = SPP * segs * W * H / dt_f
+    dt_b = dt_b_pal if dt_b_soa is None else min(dt_b_pal, dt_b_soa)
     fb_rays = SPP * segs * GW * GH / dt_b
-    fwd_engine = min([(dt_f_soa, "soa-xla"), (dt_f_pal, "pallas-bvh"),
-                      (dt_f_wav, "wavefront")])[1]
+    rnd = lambda v: None if v is None else round(v, 4)
     return {"config": 5, "name": f"10k-prim BVH {W}x{H} d8 NEE+MIS",
             "spp": SPP, "quick": quick,
             "n_prims": sd.num_prims,
@@ -325,10 +338,10 @@ def bench_config5(quick):
             "fwd_bwd_rays_per_s": round(fb_rays),
             "fwd_engine": fwd_engine,
             "soa_row_band": band,
-            "wall_s_fwd_soa": round(dt_f_soa, 4),
+            "wall_s_fwd_soa": rnd(dt_f_soa),
             "wall_s_fwd_pallas_bvh": round(dt_f_pal, 4),
             "wall_s_fwd_wavefront": round(dt_f_wav, 4),
-            "wall_s_fwd_bwd_soa": round(dt_b_soa, 4),
+            "wall_s_fwd_bwd_soa": rnd(dt_b_soa),
             "wall_s_fwd_bwd_pallas_bvh": round(dt_b_pal, 4),
             "segments_per_path": round(segs, 3)}
 
@@ -345,7 +358,23 @@ def main():
     args = ap.parse_args()
     ids = [int(x) for x in args.configs.split(",")]
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
-    results = []
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_SUITE.json")
+
+    def write_row(r):
+        # Merge-and-write after every config so subset runs (--configs 5)
+        # update in place and a device fault can't lose earlier rows.
+        merged = {}
+        if os.path.exists(out):
+            try:
+                with open(out) as f:
+                    merged = {row["config"]: row for row in json.load(f)}
+            except (ValueError, KeyError):
+                merged = {}
+        merged[r["config"]] = r
+        with open(out, "w") as f:
+            json.dump([merged[k] for k in sorted(merged)], f, indent=1)
+
     for i in ids:
         log(f"--- config {i} ---")
         t0 = time.time()
@@ -353,20 +382,7 @@ def main():
         r["device"] = str(jax.devices()[0])
         log(f"config {i} done in {time.time() - t0:.1f}s")
         print(json.dumps(r), flush=True)
-        results.append(r)
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "BENCH_SUITE.json")
-    # Merge with prior results so subset runs (--configs 5) update in place.
-    merged = {}
-    if os.path.exists(out):
-        try:
-            with open(out) as f:
-                merged = {r["config"]: r for r in json.load(f)}
-        except (ValueError, KeyError):
-            merged = {}
-    merged.update({r["config"]: r for r in results})
-    with open(out, "w") as f:
-        json.dump([merged[k] for k in sorted(merged)], f, indent=1)
+        write_row(r)
     log(f"wrote {out}")
     return 0
 
