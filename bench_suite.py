@@ -27,8 +27,19 @@ import jax.numpy as jnp
 import numpy as np
 
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def enable_compile_cache():
+    """Persistent compilation cache for the TPU remote-compile tunnel.
+
+    Called from main(), NOT at import: tests import this module for its
+    scene builders, and deserializing *CPU*-compiled cache entries across
+    processes segfaults jaxlib (observed in the full pytest run; the crash
+    is inside compilation_cache.get_executable_and_time).  Only the bench
+    entrypoints — which run on the TPU — want the cache.
+    """
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def log(*a):
@@ -351,6 +362,7 @@ BENCHES = {1: bench_config1, 2: bench_config2, 3: bench_config3,
 
 
 def main():
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="smaller spp/res (CI-sized)")

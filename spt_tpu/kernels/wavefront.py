@@ -78,7 +78,10 @@ C_ALIVE, C_SPEC, C_INIMG = 13, 14, 15
 C_MISS = 16     # missed-this-bounce flag: the env-map hook consumes + clears
 N_CH = 17
 
-DEAD_KEY = jnp.int32(1 << 20)   # sorts after every live 15-bit key
+Q_BITS = 4   # morton bits per origin axis in the sort key (measured best:
+             # 4/5/6 bits = 11.06/11.37/11.46s on the 10k-prim 1080p config
+             # — culling saturates at 4; the knob stays for other scenes)
+DEAD_KEY = jnp.int32(1 << 26)    # sorts after every live (3*Q_BITS+3)-bit key
 
 
 # ---------------------------------------------------------------------------
@@ -176,23 +179,34 @@ def _bounce_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
 # XLA glue: coherence sort + image scatter
 # ---------------------------------------------------------------------------
 
-def _part1by2_4bit(x):
-    """Spread the low 4 bits of ``x``: bit b -> bit 3*b (morton helper)."""
-    return (((x & 8) << 6) | ((x & 4) << 4) | ((x & 2) << 2) | (x & 1))
+def _part1by2(x, nbits):
+    """Spread the low ``nbits`` of ``x``: bit b -> bit 3*b (morton helper)."""
+    out = x & 1
+    for b in range(1, nbits):
+        out = out | ((x & (1 << b)) << (2 * b))
+    return out
 
 
-def _coherence_key(stf, lo, ext):
-    """(alive-first, origin-morton12, direction-octant3) sort key, i32."""
+def _coherence_key(stf, lo, ext, qbits=Q_BITS, dir_major=False):
+    """(alive-first, origin-morton, direction-octant3) sort key, i32.
+
+    ``dir_major`` puts the octant in the HIGH bits instead: a 1024-ray tile
+    then spans one octant x ~16 adjacent morton cells (direction-coherent,
+    origins spread) rather than one cell x all 8 octants (origin-coherent,
+    full-sphere directions).
+    """
+    n = float(1 << qbits)
     q = []
     for c, l, e in zip((C_OX, C_OY, C_OZ), lo, ext):
-        q.append(jnp.clip((stf[c] - l) * (16.0 / e), 0.0, 15.0)
+        q.append(jnp.clip((stf[c] - l) * (n / e), 0.0, n - 1.0)
                  .astype(jnp.int32))
-    morton = ((_part1by2_4bit(q[0]) << 2) | (_part1by2_4bit(q[1]) << 1)
-              | _part1by2_4bit(q[2]))
+    morton = ((_part1by2(q[0], qbits) << 2) | (_part1by2(q[1], qbits) << 1)
+              | _part1by2(q[2], qbits))
     octant = ((stf[C_DX] < 0).astype(jnp.int32) * 4
               + (stf[C_DY] < 0).astype(jnp.int32) * 2
               + (stf[C_DZ] < 0).astype(jnp.int32))
-    key = (morton << 3) | octant
+    key = ((octant << (3 * qbits)) | morton) if dir_major \
+        else ((morton << 3) | octant)
     return jnp.where(stf[C_ALIVE] > 0.5, key, DEAD_KEY)
 
 
@@ -215,12 +229,12 @@ def _add_env_radiance(st, env):
     return st.at[C_MISS].set(zero)
 
 
-def _sort_rays(st, ids, lo, ext):
+def _sort_rays(st, ids, lo, ext, qbits=Q_BITS, dir_major=False):
     n_rows, lanes = st.shape[1:]
     r = n_rows * lanes
     stf = st.reshape(N_CH, r)
     idf = ids.reshape(2, r)
-    perm = jnp.argsort(_coherence_key(stf, lo, ext))
+    perm = jnp.argsort(_coherence_key(stf, lo, ext, qbits, dir_major))
     stf = jnp.take(stf, perm, axis=1)
     idf = jnp.take(idf, perm, axis=1)
     return stf.reshape(st.shape), idf.reshape(ids.shape)
@@ -235,11 +249,12 @@ def _sort_rays(st, ids, lo, ext):
     static_argnames=("width", "height", "chunk_spp", "block", "n_mats",
                      "mtypes", "n_light_slots", "max_bounces", "rr_depth",
                      "use_nee", "use_mis", "sky_mode", "dof", "sort_every",
-                     "interpret"))
+                     "qbits", "dir_major", "interpret"))
 def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
                       chunk_spp, block, n_mats, mtypes, n_light_slots,
                       max_bounces, rr_depth, use_nee, use_mis, sky_mode,
-                      dof=False, sort_every=1, interpret=False):
+                      dof=False, sort_every=1, qbits=Q_BITS, dir_major=False,
+                      interpret=False):
     tiles_x = pl.cdiv(width, TW)
     tiles_y = pl.cdiv(height, TH)
     tiles_per_img = tiles_x * tiles_y
@@ -278,7 +293,7 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
 
     for k in range(max_bounces):
         if sort_every and k and (k - 1) % sort_every == 0:
-            st, ids = _sort_rays(st, ids, lo, ext)
+            st, ids = _sort_rays(st, ids, lo, ext, qbits, dir_major)
         st = pl.pallas_call(
             functools.partial(
                 _bounce_kernel, k=k, n_nodes=n_nodes, block=block,
@@ -325,6 +340,7 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
                      start_sample: int, spp: int, *, max_bounces=8,
                      rr_depth=3, use_nee=True, use_mis=True, seed=0,
                      dof=None, block: int = BLOCK, sort_every: int = 1,
+                     qbits: int = Q_BITS, dir_major: bool = False,
                      chunk_rays: int = 4 << 20, interpret=False):
     """Render ``spp`` samples sorted-wavefront style; (H,W,3) radiance sum.
 
@@ -354,7 +370,8 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
             max_bounces=max_bounces, rr_depth=rr_depth,
             use_nee=bool(use_nee), use_mis=bool(use_mis),
             sky_mode=scene.sky_mode, dof=bool(dof),
-            sort_every=int(sort_every), interpret=interpret)
+            sort_every=int(sort_every), qbits=int(qbits),
+            dir_major=bool(dir_major), interpret=interpret)
         img = part if img is None else img + part
         s += n
     return img

@@ -34,6 +34,7 @@ def test_cornell_forward_throughput():
     recording is skipped rather than compared apples-to-oranges.
     """
     import bench_suite
+    bench_suite.enable_compile_cache()  # TPU-serialized entries only here
     rec = _recorded().get(2)
     if rec is None or "rays_per_s" not in rec:
         pytest.skip("no recorded config-2 number")
@@ -51,6 +52,7 @@ def test_fwd_bwd_meets_baseline_target():
     """The headline metric must hold the BASELINE.md 500M rays/s floor,
     undiluted, at the recorded (full) spp."""
     import bench_suite
+    bench_suite.enable_compile_cache()  # TPU-serialized entries only here
     now = bench_suite.bench_config3(quick=False)
     assert now["fwd_bwd_rays_per_s"] >= 500e6, (
         f"fwd+bwd {now['fwd_bwd_rays_per_s']:.3g} below the 500M target")
