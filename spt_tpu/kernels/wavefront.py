@@ -9,8 +9,16 @@ row; ARCHITECTURE.md §7): split the megakernel at bounce boundaries and
 re-sort the ray stream between bounces so every packet the kernel sees is
 coherent again.
 
-  raygen kernel -> [ sort by (alive, origin-morton, direction-octant)
-                     -> bounce-k kernel ] x depth -> scatter-add by pixel id
+  raygen kernel -> [ sort by (alive, direction-octant, origin-morton)
+                     -> bounce-k kernel over the alive prefix ] x depth
+                 -> scatter-add by pixel id
+
+  The sort key is direction-major by default (octant in the high bits):
+  a packet then shares a direction octant and a few adjacent origin cells,
+  so its reachable set is a wedge the BVH walk can cull — origin-major
+  packets span all 8 octants and reach the whole scene.  Measured on the
+  10k-prim 1080p config: 8.75s dir-major vs 11.07s origin-major vs 22.5s
+  unsorted (tools/sweep_config5.py).
 
 * **One bounce per pallas_call, state in HBM.**  Ray state is a single
   (17, R/128, 128) f32 tensor (o, d, throughput, radiance, prev-pdf, alive,
@@ -29,9 +37,14 @@ coherent again.
 
 * **Sorting IS wavefront compaction** (the P5 strategy): the key orders
   alive rays first, so Russian-roulette casualties collect into all-dead
-  tiles whose packet walk exits after one root test and whose state is
-  copied through untouched.  No dynamic shapes anywhere — the "queue" is
-  the sorted prefix of a static-shape stream.
+  tiles past a per-bounce alive-prefix boundary.  The boundary is a
+  scalar-prefetch value that the block index maps consume: grid steps past
+  it redirect their input AND output blocks to a single pad tile, so the
+  Mosaic pipeline emitter elides their DMAs (consecutive equal block
+  indices), and the dead suffix costs neither HBM traffic nor compute —
+  its state is preserved in place because the state tensor is
+  input/output-aliased through the kernel.  No dynamic shapes anywhere —
+  the "queue" is the sorted prefix of a static-shape stream.
 
 * **Permutation-safe by construction.**  Every sample site keys its RNG on
   the (pixel, sample) ids *carried with the ray* (core/rng.py counter
@@ -78,10 +91,14 @@ C_ALIVE, C_SPEC, C_INIMG = 13, 14, 15
 C_MISS = 16     # missed-this-bounce flag: the env-map hook consumes + clears
 N_CH = 17
 
-Q_BITS = 4   # morton bits per origin axis in the sort key (measured best:
-             # 4/5/6 bits = 11.06/11.37/11.46s on the 10k-prim 1080p config
-             # — culling saturates at 4; the knob stays for other scenes)
+Q_BITS = 4   # morton bits per origin axis in the sort key (measured on the
+             # 10k-prim 1080p config: dir-major 4/6 bits = 8.75/8.73s vs
+             # origin-major 4/5/6 = 11.07/11.37/11.46 and no-sort 22.5s —
+             # culling saturates at 4 bits; the knob stays for other scenes)
 DEAD_KEY = jnp.int32(1 << 26)    # sorts after every live (3*Q_BITS+3)-bit key
+PAD_KEY = jnp.int32(1 << 27)     # out-of-image lanes: sort after DEAD too, so
+                                 # the stream's last tile is always discardable
+                                 # (the compaction pad target, see _sort_rays)
 
 
 # ---------------------------------------------------------------------------
@@ -89,8 +106,13 @@ DEAD_KEY = jnp.int32(1 << 26)    # sorts after every live (3*Q_BITS+3)-bit key
 # ---------------------------------------------------------------------------
 
 def _raygen_kernel(meta_ref, blob_ref, st_ref, ids_ref, *, width, height,
-                   tiles_x, tiles_per_img, dof):
-    """Initial ray state for one (8, 128) tile, swizzled 32x32 pixel blocks."""
+                   tiles_x, tiles_per_img, n_real_tiles, dof):
+    """Initial ray state for one (8, 128) tile, swizzled 32x32 pixel blocks.
+
+    The last grid step (``tile == n_real_tiles``) writes the compaction pad
+    tile: all flags zero, so its lanes sort with ``PAD_KEY`` and scatter
+    into the discard slot.
+    """
     tile = pl.program_id(0)
     start_sample = meta_ref[0]
     seed = meta_ref[1].astype(jnp.uint32)
@@ -105,7 +127,7 @@ def _raygen_kernel(meta_ref, blob_ref, st_ref, ids_ref, *, width, height,
     ty = timg // tiles_x
     px = tx * TW + lin % TW
     py = ty * TH + lin // TW
-    in_image = (px < width) & (py < height)
+    in_image = (px < width) & (py < height) & (tile < n_real_tiles)
     pxc = jnp.minimum(px, width - 1)
     pyc = jnp.minimum(py, height - 1)
     pid = (pyc * width + pxc).astype(jnp.uint32)
@@ -129,16 +151,33 @@ def _bounce_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
                    sky_mode):
     seed = meta_ref[1].astype(jnp.uint32)
     nl = meta_ref[2]
+    # Grid steps past the alive-prefix boundary read AND write the pad tile
+    # (their real blocks are untouched thanks to input/output aliasing) —
+    # skip the physics so they cost an elided DMA and no compute.
+    in_region = pl.program_id(0) < meta_ref[3]
     alive = st_ref[C_ALIVE] > 0.5
     any_alive = jnp.any(alive)
 
-    @pl.when(jnp.logical_not(any_alive))
-    def _():   # dead tile: copy state through untouched
+    @pl.when(jnp.logical_not(in_region))
+    def _():
+        # The out VMEM buffer is stale here (typically a copy of the last
+        # real tile's output, with in-image flags and real pixel ids); it
+        # flushes to the pad tile when the grid ends.  Zero the flags so
+        # those lanes can neither scatter into the image nor re-enter the
+        # next sort's alive prefix as duplicate rays.  (Interpret mode
+        # zero-fills outputs, which hides this — hardware does not.)
+        zeros = jnp.zeros_like(st_ref[C_ALIVE])
+        out_ref[C_ALIVE] = zeros
+        out_ref[C_INIMG] = zeros
+        out_ref[C_MISS] = zeros
+
+    @pl.when(in_region & jnp.logical_not(any_alive))
+    def _():   # dead tile inside the prefix: copy state through untouched
         for c in range(N_CH):
             out_ref[c] = st_ref[c]
         out_ref[C_MISS] = jnp.zeros_like(st_ref[C_MISS])
 
-    @pl.when(any_alive)
+    @pl.when(in_region & any_alive)
     def _():
         pid = ids_ref[0].astype(jnp.uint32)
         sample = ids_ref[1].astype(jnp.uint32)
@@ -207,7 +246,8 @@ def _coherence_key(stf, lo, ext, qbits=Q_BITS, dir_major=False):
               + (stf[C_DZ] < 0).astype(jnp.int32))
     key = ((octant << (3 * qbits)) | morton) if dir_major \
         else ((morton << 3) | octant)
-    return jnp.where(stf[C_ALIVE] > 0.5, key, DEAD_KEY)
+    return jnp.where(stf[C_ALIVE] > 0.5, key,
+                     jnp.where(stf[C_INIMG] > 0.5, DEAD_KEY, PAD_KEY))
 
 
 def _add_env_radiance(st, env):
@@ -230,14 +270,23 @@ def _add_env_radiance(st, env):
 
 
 def _sort_rays(st, ids, lo, ext, qbits=Q_BITS, dir_major=False):
+    """Coherence-sort the stream; returns (st, ids, n_alive_tiles).
+
+    ``n_alive_tiles`` is the compacted alive-prefix length in (8, 128)
+    tiles — the scalar the bounce kernel's index maps use to skip the dead
+    suffix entirely.
+    """
     n_rows, lanes = st.shape[1:]
     r = n_rows * lanes
     stf = st.reshape(N_CH, r)
     idf = ids.reshape(2, r)
-    perm = jnp.argsort(_coherence_key(stf, lo, ext, qbits, dir_major))
+    key = _coherence_key(stf, lo, ext, qbits, dir_major)
+    perm = jnp.argsort(key)
     stf = jnp.take(stf, perm, axis=1)
     idf = jnp.take(idf, perm, axis=1)
-    return stf.reshape(st.shape), idf.reshape(ids.shape)
+    n_alive = jnp.sum((key < DEAD_KEY).astype(jnp.int32))
+    n_alive_tiles = (n_alive + TILE - 1) // TILE
+    return stf.reshape(st.shape), idf.reshape(ids.shape), n_alive_tiles
 
 
 # ---------------------------------------------------------------------------
@@ -249,27 +298,30 @@ def _sort_rays(st, ids, lo, ext, qbits=Q_BITS, dir_major=False):
     static_argnames=("width", "height", "chunk_spp", "block", "n_mats",
                      "mtypes", "n_light_slots", "max_bounces", "rr_depth",
                      "use_nee", "use_mis", "sky_mode", "dof", "sort_every",
-                     "qbits", "dir_major", "interpret"))
+                     "qbits", "dir_major", "compact", "interpret"))
 def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
                       chunk_spp, block, n_mats, mtypes, n_light_slots,
                       max_bounces, rr_depth, use_nee, use_mis, sky_mode,
                       dof=False, sort_every=1, qbits=Q_BITS, dir_major=False,
-                      interpret=False):
+                      compact=True, interpret=False):
     tiles_x = pl.cdiv(width, TW)
     tiles_y = pl.cdiv(height, TH)
     tiles_per_img = tiles_x * tiles_y
     n_tiles = tiles_per_img * chunk_spp
-    n_rows = n_tiles * TILE_ROWS
+    # One extra all-pad tile at the end of the stream: the redirect target
+    # for grid steps past the alive-prefix boundary (clobber-safe because
+    # PAD_KEY lanes — at least this tile's 1024 — always sort last).
+    n_rows = (n_tiles + 1) * TILE_ROWS
     n_nodes = nodef.shape[0]
     n_blocks = prims.shape[0]
 
     st, ids = pl.pallas_call(
         functools.partial(_raygen_kernel, width=width, height=height,
                           tiles_x=tiles_x, tiles_per_img=tiles_per_img,
-                          dof=dof),
+                          n_real_tiles=n_tiles, dof=dof),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(n_tiles,),
+            grid=(n_tiles + 1,),
             in_specs=[],
             out_specs=[
                 pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
@@ -291,9 +343,18 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
     ext = tuple(jnp.maximum(nodef[0, 3 + a] - nodef[0, a], 1e-5)
                 for a in range(3))
 
+    def _redirect(i, m, *r):
+        # Alive-prefix compaction: steps past the boundary all target the
+        # pad tile; consecutive equal indices make Mosaic elide the DMAs.
+        return (0, jnp.where(i < m[3], i, n_tiles), 0)
+
+    nalive = jnp.int32(n_tiles)
     for k in range(max_bounces):
         if sort_every and k and (k - 1) % sort_every == 0:
-            st, ids = _sort_rays(st, ids, lo, ext, qbits, dir_major)
+            st, ids, na = _sort_rays(st, ids, lo, ext, qbits, dir_major)
+            if compact:
+                nalive = na
+        meta4 = jnp.concatenate([meta[:3], nalive.reshape(1)])
         st = pl.pallas_call(
             functools.partial(
                 _bounce_kernel, k=k, n_nodes=n_nodes, block=block,
@@ -307,22 +368,23 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # nodef
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # nodei
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # prims
-                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
-                                 lambda i, *r: (0, i, 0),
+                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((2, TILE_ROWS, TILE_LANES),
-                                 lambda i, *r: (0, i, 0),
+                    pl.BlockSpec((2, TILE_ROWS, TILE_LANES), _redirect,
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
-                                       lambda i, *r: (0, i, 0),
+                                       _redirect,
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[pltpu.SMEM((max(n_blocks, 1),), jnp.int32)],
             ),
             out_shape=jax.ShapeDtypeStruct((N_CH, n_rows, TILE_LANES),
                                            jnp.float32),
+            # st rides through aliased: the dead suffix past the boundary
+            # is preserved in place without ever being copied.
+            input_output_aliases={5: 0},
             interpret=interpret,
-        )(meta, blob, nodef, nodei, prims, st, ids)
+        )(meta4, blob, nodef, nodei, prims, st, ids)
         if sky_mode == physics.SKY_ENVMAP:
             st = _add_env_radiance(st, env)
 
@@ -340,8 +402,9 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
                      start_sample: int, spp: int, *, max_bounces=8,
                      rr_depth=3, use_nee=True, use_mis=True, seed=0,
                      dof=None, block: int = BLOCK, sort_every: int = 1,
-                     qbits: int = Q_BITS, dir_major: bool = False,
-                     chunk_rays: int = 4 << 20, interpret=False):
+                     qbits: int = Q_BITS, dir_major: bool = True,
+                     compact: bool = True, chunk_rays: int = 4 << 20,
+                     interpret=False):
     """Render ``spp`` samples sorted-wavefront style; (H,W,3) radiance sum.
 
     Semantics and RNG streams are identical to ``megakernel_bvh.
@@ -371,7 +434,8 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
             use_nee=bool(use_nee), use_mis=bool(use_mis),
             sky_mode=scene.sky_mode, dof=bool(dof),
             sort_every=int(sort_every), qbits=int(qbits),
-            dir_major=bool(dir_major), interpret=interpret)
+            dir_major=bool(dir_major), compact=bool(compact),
+            interpret=interpret)
         img = part if img is None else img + part
         s += n
     return img
