@@ -80,11 +80,82 @@ _MAT_STRIDE = 8   # ar ag ab  er eg eb  rough ior
 _N_PRIM_ATTRS = 5  # cx cy cz r mid
 
 
+def _octant_tables(nodef, nodei):
+    """Emit 8 octant-ordered preorder layouts of one skip-link BVH.
+
+    The input preorder visits children in build order; a packet whose rays
+    share a direction octant wants the NEAR child first so early hits
+    tighten ``t_best`` and prune the far subtree.  Since skip-link layouts
+    bake the visit order into memory, we materialize one preorder per
+    direction octant (near child = smaller centroid along the children's
+    principal separation axis for positive direction sign, larger for
+    negative).  Children are recovered from the skip links themselves
+    (child1 = i+1, child2 = skip[child1]).  Returns stacked
+    (8*n, 8) float32 / int32 arrays; table ``o`` starts at row ``o*n`` and
+    its skip pointers are table-local.  Any table is CORRECT for any ray
+    (visit order only affects culling efficiency), so mixed-octant packets
+    simply lose some pruning, never correctness.
+
+    The reference gets this ordering for free inside Embree's rtcIntersect1
+    (CPUPathTracer.cpp:227) via per-node sorted child traversal; a scalar
+    stack is hostile to the TPU's vector/scalar split, so we precompute
+    the 8 static orders instead.
+    """
+    n = nodef.shape[0]
+    skip = nodei[:, 0]
+    blockid = nodei[:, 1]
+    cent = (nodef[:, 0:3] + nodef[:, 3:6]) * 0.5
+    outf = np.zeros((8, n, 8), np.float32)
+    outi = np.zeros((8, n, 8), np.int32)
+    # children[i] = (c1, c2) or (c1, -1) or None for leaves
+    children = [None] * n
+    for i in range(n):
+        if blockid[i] >= 0:
+            continue
+        c1 = i + 1
+        if c1 >= n:
+            continue
+        c2 = int(skip[c1])
+        children[i] = (c1, c2) if (c2 < int(skip[i]) and c2 < n) else (c1, -1)
+    for o in range(8):
+        neg = ((o >> 2) & 1, (o >> 1) & 1, o & 1)   # (dx<0, dy<0, dz<0)
+        pos = 0
+        # Iterative preorder emit; stack entries are (node, patch_slot) —
+        # patch_slot < 0 means "emit", >= 0 means "patch skip of that row".
+        stack = [(0, -1)]
+        while stack:
+            i, patch = stack.pop()
+            if patch >= 0:
+                outi[o, patch, 0] = pos     # skip = row past the subtree
+                continue
+            me = pos
+            pos += 1
+            outf[o, me] = nodef[i]
+            outi[o, me, 1] = blockid[i]
+            stack.append((i, me))           # patch after subtree emitted
+            ch = children[i]
+            if ch is None:
+                continue
+            c1, c2 = ch
+            if c2 < 0:
+                stack.append((c1, -1))
+                continue
+            axis = int(np.argmax(np.abs(cent[c2] - cent[c1])))
+            first, second = c1, c2
+            if (cent[c2][axis] > cent[c1][axis]) == bool(neg[axis]):
+                first, second = c2, c1
+            stack.append((second, -1))      # LIFO: first child emits first
+            stack.append((first, -1))
+    return outf.reshape(8 * n, 8), outi.reshape(8 * n, 8)
+
+
 def pack_bvh_scene(scene: SceneData, camera, block: int = BLOCK):
     """Host-side packing: BVH + leaf-blocked prim table + uniform blob.
 
     Returns (blob, meta_fixed, nodef, nodei, prims, static) where static is
-    a dict of python ints/tuples that parameterize the kernel.
+    a dict of python ints/tuples that parameterize the kernel.  nodef/nodei
+    are the 8 stacked octant-ordered preorders (see ``_octant_tables``);
+    row 0 is always the root, ``static["n_nodes"]`` the per-table length.
     """
     centers = np.asarray(scene.centers, np.float32)
     radii = np.asarray(scene.radii, np.float32)
@@ -159,10 +230,11 @@ def pack_bvh_scene(scene: SceneData, camera, block: int = BLOCK):
         blob[off + 4:off + 7] = emission[mat_id[p]]
 
     static = dict(n_mats=n_mats, mtypes=tuple(int(t) for t in mtype),
-                  n_light_slots=n_lights, block=block,
+                  n_light_slots=n_lights, block=block, n_nodes=n_nodes,
                   n_blocks=n_blocks, block_prim_ids=block_prim_ids,
                   light_prims=light_prims)
-    return (blob, np.asarray([0, 0, n_lights], np.int32), nodef, nodei,
+    nodef8, nodei8 = _octant_tables(nodef, nodei)
+    return (blob, np.asarray([0, 0, n_lights], np.int32), nodef8, nodei8,
             prims, static)
 
 
@@ -226,23 +298,26 @@ def _safe_inv(v):
 
 
 def _walk_collect(nodef_ref, nodei_ref, blk_scr, ox, oy, oz, ivx, ivy, ivz,
-                  active, tmax, n_nodes):
+                  active, tmax, n_nodes, obase=0):
     """Phase 1: packet-walk the skip-link tree; collect hit leaf blocks.
 
     Returns the number of collected blocks (scalar i32); block ids are in
     ``blk_scr`` (SMEM scratch).  ``tmax`` is a per-lane upper bound.
+    ``obase`` selects the octant-ordered table (octant * n_nodes row
+    offset into the stacked layouts, see ``_octant_tables``).
     """
     def cond(c):
         return c[0] < n_nodes
 
     def body(c):
         ptr, n_found = c
-        minx = nodef_ref[ptr, 0]
-        miny = nodef_ref[ptr, 1]
-        minz = nodef_ref[ptr, 2]
-        maxx = nodef_ref[ptr, 3]
-        maxy = nodef_ref[ptr, 4]
-        maxz = nodef_ref[ptr, 5]
+        row = obase + ptr
+        minx = nodef_ref[row, 0]
+        miny = nodef_ref[row, 1]
+        minz = nodef_ref[row, 2]
+        maxx = nodef_ref[row, 3]
+        maxy = nodef_ref[row, 4]
+        maxz = nodef_ref[row, 5]
         t0 = (minx - ox) * ivx
         t1 = (maxx - ox) * ivx
         tn = jnp.minimum(t0, t1)
@@ -257,8 +332,8 @@ def _walk_collect(nodef_ref, nodei_ref, blk_scr, ox, oy, oz, ivx, ivy, ivz,
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
         hit_box = (tn <= tf) & (tf > TMIN) & (tn < tmax) & active
         anyh = jnp.any(hit_box)
-        skip = nodei_ref[ptr, 0]
-        blk = nodei_ref[ptr, 1]
+        skip = nodei_ref[row, 0]
+        blk = nodei_ref[row, 1]
         is_leaf = blk >= 0
         take = anyh & is_leaf
 
@@ -276,7 +351,8 @@ def _walk_collect(nodef_ref, nodei_ref, blk_scr, ox, oy, oz, ivx, ivy, ivz,
 
 
 def _walk_nearest(nodef_ref, nodei_ref, prim_ref, ox, oy, oz, dx, dy, dz,
-                  ivx, ivy, ivz, active, n_nodes, block, with_ids=False):
+                  ivx, ivy, ivz, active, n_nodes, block, with_ids=False,
+                  obase=0):
     """Interleaved packet walk: leaf sweeps run at discovery so every later
     AABB test culls against the per-lane *tightened* t_best — in dense
     scenes this prunes most of the tree even for incoherent bounce packets.
@@ -293,12 +369,13 @@ def _walk_nearest(nodef_ref, nodei_ref, prim_ref, ox, oy, oz, dx, dy, dz,
 
     def body(c):
         ptr, t, hcx, hcy, hcz, hr, hmid = c[:7]
-        minx = nodef_ref[ptr, 0]
-        miny = nodef_ref[ptr, 1]
-        minz = nodef_ref[ptr, 2]
-        maxx = nodef_ref[ptr, 3]
-        maxy = nodef_ref[ptr, 4]
-        maxz = nodef_ref[ptr, 5]
+        row = obase + ptr
+        minx = nodef_ref[row, 0]
+        miny = nodef_ref[row, 1]
+        minz = nodef_ref[row, 2]
+        maxx = nodef_ref[row, 3]
+        maxy = nodef_ref[row, 4]
+        maxz = nodef_ref[row, 5]
         t0 = (minx - ox) * ivx
         t1 = (maxx - ox) * ivx
         tn = jnp.minimum(t0, t1)
@@ -313,8 +390,8 @@ def _walk_nearest(nodef_ref, nodei_ref, prim_ref, ox, oy, oz, dx, dy, dz,
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
         hit_box = (tn <= tf) & (tf > TMIN) & (tn < t) & active
         anyh = jnp.any(hit_box)
-        skip = nodei_ref[ptr, 0]
-        blk = nodei_ref[ptr, 1]
+        skip = nodei_ref[row, 0]
+        blk = nodei_ref[row, 1]
         is_leaf = blk >= 0
 
         def leaf_fn(cc):
@@ -394,6 +471,20 @@ def _leaf_sweep_anyhit(prim_ref, blk_scr, n_found, ox, oy, oz, dx, dy, dz,
     return blocked > 0.5
 
 
+def _packet_obase(dx, dy, dz, active, n_nodes):
+    """Scalar row offset of the octant-ordered node table for this packet.
+
+    Uses the minimum octant among active lanes: octant-pure packets (the
+    sorted-wavefront case) get exactly their table; mixed packets get a
+    correct-but-arbitrary one (ordering is a pruning heuristic only).
+    """
+    octv = ((dx < 0.0).astype(jnp.int32) * 4
+            + (dy < 0.0).astype(jnp.int32) * 2
+            + (dz < 0.0).astype(jnp.int32))
+    oct_s = jnp.min(jnp.where(active, octv, 7))
+    return oct_s * n_nodes
+
+
 def _make_intersectors(blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr,
                        n_nodes, block, n_mats, mtypes):
     """Build (intersect_fn, occluded_fn) closures for physics.trace_bounce."""
@@ -402,7 +493,8 @@ def _make_intersectors(blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr,
         ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
         t, hcx, hcy, hcz, hr, hmid = _walk_nearest(
             nodef_ref, nodei_ref, prim_ref, ox, oy, oz, dx, dy, dz,
-            ivx, ivy, ivz, active, n_nodes, block)
+            ivx, ivy, ivz, active, n_nodes, block,
+            obase=_packet_obase(dx, dy, dz, active, n_nodes))
         # Resolve material attributes: static unroll over the material
         # table (small), selecting by the winner's material id.
         zero = jnp.zeros_like(ox)
@@ -434,7 +526,9 @@ def _make_intersectors(blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr,
     def occluded(ox, oy, oz, dx, dy, dz, tmax, need):
         ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
         n_found = _walk_collect(nodef_ref, nodei_ref, blk_scr, ox, oy, oz,
-                                ivx, ivy, ivz, need, tmax, n_nodes)
+                                ivx, ivy, ivz, need, tmax, n_nodes,
+                                obase=_packet_obase(dx, dy, dz, need,
+                                                    n_nodes))
         return _leaf_sweep_anyhit(prim_ref, blk_scr, n_found, ox, oy, oz,
                                   dx, dy, dz, need, tmax, block)
 
@@ -522,7 +616,7 @@ def _launch_bvh(blob, meta, nodef, nodei, prims, *, width, height, spp,
     tiles_x = pl.cdiv(width, TW)
     tiles_y = pl.cdiv(height, TH)
     n_tiles = tiles_x * tiles_y
-    n_nodes = nodef.shape[0]
+    n_nodes = nodef.shape[0] // 8   # 8 stacked octant tables
     n_blocks = prims.shape[0]
     kernel = functools.partial(
         _kernel_bvh, n_nodes=n_nodes, block=block, n_mats=n_mats,

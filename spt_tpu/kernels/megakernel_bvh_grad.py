@@ -46,8 +46,8 @@ from . import physics
 from .megakernel import _SKY_OFF
 from .megakernel_bvh import (BIG, BLOCK, TILE, TILE_LANES, TILE_ROWS, TMIN,
                              TH, TW, _MAT_OFF, _MAT_STRIDE, _packed,
-                             _safe_inv, _walk_collect, _leaf_sweep_anyhit,
-                             _walk_nearest)
+                             _packet_obase, _safe_inv, _walk_collect,
+                             _leaf_sweep_anyhit, _walk_nearest)
 from .megakernel_grad import N_STATE, _raygen, _uniforms
 
 N_HIT = 8  # saved winner rows: hcx hcy hcz hr hmid hblk hslot (pad)
@@ -159,14 +159,17 @@ def _kernel_bvh_grad(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
         ivx, ivy, ivz = _safe_inv(sdx), _safe_inv(sdy), _safe_inv(sdz)
         t_w, hcx, hcy, hcz, hr, hmid, hblk, hslot = _walk_nearest(
             nodef_ref, nodei_ref, prim_ref, sox, soy, soz, sdx, sdy, sdz,
-            ivx, ivy, ivz, aux[0], n_nodes, block, with_ids=True)
+            ivx, ivy, ivz, aux[0], n_nodes, block, with_ids=True,
+            obase=_packet_obase(sdx, sdy, sdz, aux[0], n_nodes))
         for i, arr in enumerate((hcx, hcy, hcz, hr, hmid, hblk, hslot)):
             hit_scr[k, i] = arr
 
         def occ_and_save(pox, poy, poz, ldx, ldy, ldz, tmax, need, k=k):
             lvx, lvy, lvz = _safe_inv(ldx), _safe_inv(ldy), _safe_inv(ldz)
             n_found = _walk_collect(nodef_ref, nodei_ref, blk_scr, pox, poy,
-                                    poz, lvx, lvy, lvz, need, tmax, n_nodes)
+                                    poz, lvx, lvy, lvz, need, tmax, n_nodes,
+                                    obase=_packet_obase(ldx, ldy, ldz, need,
+                                                        n_nodes))
             blocked = _leaf_sweep_anyhit(prim_ref, blk_scr, n_found, pox,
                                          poy, poz, ldx, ldy, ldz, need,
                                          tmax, block)
@@ -297,7 +300,7 @@ def _launch_bvh_grad(blob, meta, nodef, nodei, prims, ct, *, width, height,
     tiles_x = pl.cdiv(width, TW)
     tiles_y = pl.cdiv(height, TH)
     n_tiles = tiles_x * tiles_y
-    n_nodes = nodef.shape[0]
+    n_nodes = nodef.shape[0] // 8   # 8 stacked octant tables
     n_blocks = prims.shape[0]
     n_scal = physics.N_SKY_ATTRS + 8 * n_mats + 7 * n_light_slots
     kernel = functools.partial(

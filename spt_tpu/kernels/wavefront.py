@@ -312,7 +312,7 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
     # for grid steps past the alive-prefix boundary (clobber-safe because
     # PAD_KEY lanes — at least this tile's 1024 — always sort last).
     n_rows = (n_tiles + 1) * TILE_ROWS
-    n_nodes = nodef.shape[0]
+    n_nodes = nodef.shape[0] // 8   # 8 stacked octant tables
     n_blocks = prims.shape[0]
 
     st, ids = pl.pallas_call(
