@@ -16,10 +16,8 @@ from __future__ import annotations
 
 import jax
 
-from ..core.camera import Camera
 from ..core.scene import SKY_ENVMAP
 from ..kernels import megakernel
-from ..utils.log import Log  # noqa: F401  (fallback warn hook, kept)
 from .api import JaxPathTracer, register_backend
 
 # Above this capacity the SMEM uniform blob gets too large; delegate to the
@@ -33,16 +31,6 @@ def _on_tpu() -> bool:
 
 class PallasPathTracer(JaxPathTracer):
     backend_name = "pallas"
-
-    def __init__(self):
-        super().__init__()
-        self._warned_fallback = None
-
-    def _warn_fallback(self, reason: str) -> None:
-        if self._warned_fallback != reason:
-            self._warned_fallback = reason
-            Log.warn(f"pallas backend: {reason}; delegating to the pure-JAX "
-                     f"path (slower)")
 
     def _render_samples(self, start_sample: int, spp: int):
         s = self._settings

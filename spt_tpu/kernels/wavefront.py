@@ -95,10 +95,39 @@ Q_BITS = 4   # morton bits per origin axis in the sort key (measured on the
              # 10k-prim 1080p config: dir-major 4/6 bits = 8.75/8.73s vs
              # origin-major 4/5/6 = 11.07/11.37/11.46 and no-sort 22.5s —
              # culling saturates at 4 bits; the knob stays for other scenes)
-DEAD_KEY = jnp.int32(1 << 26)    # sorts after every live (3*Q_BITS+3)-bit key
-PAD_KEY = jnp.int32(1 << 27)     # out-of-image lanes: sort after DEAD too, so
-                                 # the stream's last tile is always discardable
-                                 # (the compaction pad target, see _sort_rays)
+D_BITS = 2   # fine direction bits per axis (dir-major only): octant alone
+             # bounds the SIGN of each direction component but not the
+             # magnitude, so a packet's inverse-direction intervals span
+             # [1/|d|max, inf) and the frustum walk's scalar interval test
+             # cannot cull; 2 extra magnitude bits per axis narrow a
+             # packet's cone to ~quarter-octant and make it bite.
+
+
+def _live_bits(qbits: int, dbits: int) -> int:
+    bits = 3 * qbits + 3 + 3 * dbits
+    if bits + 2 > 31:
+        raise ValueError(
+            f"sort key needs {bits}+2 bits; qbits+dbits must be <= 8 "
+            f"(got qbits={qbits}, dbits={dbits})")
+    return bits
+
+
+def _dead_key(qbits: int, dbits: int):
+    """Sentinel sorting after every live key.
+
+    Derived from the key width so compaction (n_alive = #keys < dead)
+    stays correct for any exposed qbits/dbits: a fixed sentinel would
+    collide with live keys once they reach its bit position, silently
+    freezing the rays that land past the compaction boundary (ADVICE r2,
+    medium).
+    """
+    return jnp.int32(1 << _live_bits(qbits, dbits))
+
+
+def _pad_key(qbits: int, dbits: int):
+    """Out-of-image lanes: sort after DEAD too, so the stream's last tile is
+    always discardable (the compaction pad target, see _sort_rays)."""
+    return jnp.int32(1 << (_live_bits(qbits, dbits) + 1))
 
 
 # ---------------------------------------------------------------------------
@@ -226,13 +255,16 @@ def _part1by2(x, nbits):
     return out
 
 
-def _coherence_key(stf, lo, ext, qbits=Q_BITS, dir_major=False):
-    """(alive-first, origin-morton, direction-octant3) sort key, i32.
+def _coherence_key(stf, lo, ext, qbits=Q_BITS, dir_major=False,
+                   dbits=D_BITS):
+    """(alive-first, direction, origin-morton) sort key, i32.
 
-    ``dir_major`` puts the octant in the HIGH bits instead: a 1024-ray tile
-    then spans one octant x ~16 adjacent morton cells (direction-coherent,
-    origins spread) rather than one cell x all 8 octants (origin-coherent,
-    full-sphere directions).
+    ``dir_major`` puts the direction in the HIGH bits: octant(3) then
+    ``dbits`` magnitude bits per axis (morton-interleaved), then the
+    origin morton code.  A 1024-ray packet then shares a ~quarter-octant
+    direction cone over a contiguous morton range — both the frustum walk's
+    scalar interval test and per-lane culling get tight inputs.  Non-dir-
+    major keeps the legacy (morton, octant3) layout (``dbits`` ignored).
     """
     n = float(1 << qbits)
     q = []
@@ -244,10 +276,24 @@ def _coherence_key(stf, lo, ext, qbits=Q_BITS, dir_major=False):
     octant = ((stf[C_DX] < 0).astype(jnp.int32) * 4
               + (stf[C_DY] < 0).astype(jnp.int32) * 2
               + (stf[C_DZ] < 0).astype(jnp.int32))
-    key = ((octant << (3 * qbits)) | morton) if dir_major \
-        else ((morton << 3) | octant)
+    if dir_major:
+        if dbits:
+            nd = float(1 << dbits)
+            qd = [jnp.clip(jnp.abs(stf[c]) * nd, 0.0, nd - 1.0)
+                  .astype(jnp.int32) for c in (C_DX, C_DY, C_DZ)]
+            dirfine = ((_part1by2(qd[0], dbits) << 2)
+                       | (_part1by2(qd[1], dbits) << 1)
+                       | _part1by2(qd[2], dbits))
+        else:
+            dirfine = jnp.zeros_like(octant)
+        key = ((octant << (3 * dbits + 3 * qbits))
+               | (dirfine << (3 * qbits)) | morton)
+    else:
+        dbits = 0
+        key = (morton << 3) | octant
     return jnp.where(stf[C_ALIVE] > 0.5, key,
-                     jnp.where(stf[C_INIMG] > 0.5, DEAD_KEY, PAD_KEY))
+                     jnp.where(stf[C_INIMG] > 0.5, _dead_key(qbits, dbits),
+                               _pad_key(qbits, dbits)))
 
 
 def _add_env_radiance(st, env):
@@ -269,7 +315,8 @@ def _add_env_radiance(st, env):
     return st.at[C_MISS].set(zero)
 
 
-def _sort_rays(st, ids, lo, ext, qbits=Q_BITS, dir_major=False):
+def _sort_rays(st, ids, lo, ext, qbits=Q_BITS, dir_major=False,
+               dbits=D_BITS):
     """Coherence-sort the stream; returns (st, ids, n_alive_tiles).
 
     ``n_alive_tiles`` is the compacted alive-prefix length in (8, 128)
@@ -280,11 +327,13 @@ def _sort_rays(st, ids, lo, ext, qbits=Q_BITS, dir_major=False):
     r = n_rows * lanes
     stf = st.reshape(N_CH, r)
     idf = ids.reshape(2, r)
-    key = _coherence_key(stf, lo, ext, qbits, dir_major)
+    key = _coherence_key(stf, lo, ext, qbits, dir_major, dbits)
     perm = jnp.argsort(key)
     stf = jnp.take(stf, perm, axis=1)
     idf = jnp.take(idf, perm, axis=1)
-    n_alive = jnp.sum((key < DEAD_KEY).astype(jnp.int32))
+    n_alive = jnp.sum(
+        (key < _dead_key(qbits, dbits if dir_major else 0)).astype(
+            jnp.int32))
     n_alive_tiles = (n_alive + TILE - 1) // TILE
     return stf.reshape(st.shape), idf.reshape(ids.shape), n_alive_tiles
 
@@ -293,28 +342,18 @@ def _sort_rays(st, ids, lo, ext, qbits=Q_BITS, dir_major=False):
 # Launch
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "chunk_spp", "block", "n_mats",
-                     "mtypes", "n_light_slots", "max_bounces", "rr_depth",
-                     "use_nee", "use_mis", "sky_mode", "dof", "sort_every",
-                     "qbits", "dir_major", "compact", "interpret"))
-def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
-                      chunk_spp, block, n_mats, mtypes, n_light_slots,
-                      max_bounces, rr_depth, use_nee, use_mis, sky_mode,
-                      dof=False, sort_every=1, qbits=Q_BITS, dir_major=False,
-                      compact=True, interpret=False):
+def _raygen_launch(meta, blob, *, width, height, chunk_spp, dof, interpret):
+    """Run the raygen kernel; returns (st, ids, n_tiles).
+
+    The stream has one extra all-pad tile at the end: the redirect target
+    for grid steps past the alive-prefix boundary (clobber-safe because
+    pad-key lanes — at least this tile's 1024 — always sort last).
+    """
     tiles_x = pl.cdiv(width, TW)
     tiles_y = pl.cdiv(height, TH)
     tiles_per_img = tiles_x * tiles_y
     n_tiles = tiles_per_img * chunk_spp
-    # One extra all-pad tile at the end of the stream: the redirect target
-    # for grid steps past the alive-prefix boundary (clobber-safe because
-    # PAD_KEY lanes — at least this tile's 1024 — always sort last).
     n_rows = (n_tiles + 1) * TILE_ROWS
-    n_nodes = nodef.shape[0] // 8   # 8 stacked octant tables
-    n_blocks = prims.shape[0]
-
     st, ids = pl.pallas_call(
         functools.partial(_raygen_kernel, width=width, height=height,
                           tiles_x=tiles_x, tiles_per_img=tiles_per_img,
@@ -337,11 +376,46 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
         ],
         interpret=interpret,
     )(meta, blob)
+    return st, ids, n_tiles
 
-    # Scene bounds for the origin quantization (root AABB).
+
+def _scene_sort_bounds(nodef):
+    """Origin-quantization bounds for the coherence key (root AABB)."""
     lo = tuple(nodef[0, a] for a in range(3))
     ext = tuple(jnp.maximum(nodef[0, 3 + a] - nodef[0, a], 1e-5)
                 for a in range(3))
+    return lo, ext
+
+
+def _scatter_image(st, ids, width, height):
+    """Scatter radiance by pixel id; padding lanes dump into slot H*W."""
+    r = st.shape[1] * st.shape[2]
+    stf = st.reshape(N_CH, r)
+    pid = ids.reshape(2, r)[0]
+    idx = jnp.where(stf[C_INIMG] > 0.5, pid, width * height)
+    rad = jnp.stack([stf[C_LR], stf[C_LG], stf[C_LB]], axis=-1)
+    img = jnp.zeros((width * height + 1, 3), jnp.float32).at[idx].add(rad)
+    return img[:width * height].reshape(height, width, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "chunk_spp", "block", "n_mats",
+                     "mtypes", "n_light_slots", "max_bounces", "rr_depth",
+                     "use_nee", "use_mis", "sky_mode", "dof", "sort_every",
+                     "qbits", "dir_major", "dbits", "compact", "interpret"))
+def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
+                      chunk_spp, block, n_mats, mtypes, n_light_slots,
+                      max_bounces, rr_depth, use_nee, use_mis, sky_mode,
+                      dof=False, sort_every=1, qbits=Q_BITS, dir_major=False,
+                      dbits=D_BITS, compact=True, interpret=False):
+    n_nodes = nodef.shape[0] // 8   # 8 stacked octant tables
+    n_blocks = prims.shape[0]
+    st, ids, n_tiles = _raygen_launch(
+        meta, blob, width=width, height=height, chunk_spp=chunk_spp,
+        dof=dof, interpret=interpret)
+    n_rows = (n_tiles + 1) * TILE_ROWS
+    lo, ext = _scene_sort_bounds(nodef)
 
     def _redirect(i, m, *r):
         # Alive-prefix compaction: steps past the boundary all target the
@@ -351,7 +425,8 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
     nalive = jnp.int32(n_tiles)
     for k in range(max_bounces):
         if sort_every and k and (k - 1) % sort_every == 0:
-            st, ids, na = _sort_rays(st, ids, lo, ext, qbits, dir_major)
+            st, ids, na = _sort_rays(st, ids, lo, ext, qbits, dir_major,
+                                     dbits)
             if compact:
                 nalive = na
         meta4 = jnp.concatenate([meta[:3], nalive.reshape(1)])
@@ -388,14 +463,7 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
         if sky_mode == physics.SKY_ENVMAP:
             st = _add_env_radiance(st, env)
 
-    # Scatter radiance by pixel id; padding lanes dump into slot H*W.
-    r = n_rows * TILE_LANES
-    stf = st.reshape(N_CH, r)
-    pid = ids.reshape(2, r)[0]
-    idx = jnp.where(stf[C_INIMG] > 0.5, pid, width * height)
-    rad = jnp.stack([stf[C_LR], stf[C_LG], stf[C_LB]], axis=-1)
-    img = jnp.zeros((width * height + 1, 3), jnp.float32).at[idx].add(rad)
-    return img[:width * height].reshape(height, width, 3)
+    return _scatter_image(st, ids, width, height)
 
 
 def render_wavefront(scene: SceneData, camera, width: int, height: int,
@@ -403,8 +471,8 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
                      rr_depth=3, use_nee=True, use_mis=True, seed=0,
                      dof=None, block: int = BLOCK, sort_every: int = 1,
                      qbits: int = Q_BITS, dir_major: bool = True,
-                     compact: bool = True, chunk_rays: int = 4 << 20,
-                     interpret=False):
+                     dbits: int = D_BITS, compact: bool = True,
+                     chunk_rays: int = 4 << 20, interpret=False):
     """Render ``spp`` samples sorted-wavefront style; (H,W,3) radiance sum.
 
     Semantics and RNG streams are identical to ``megakernel_bvh.
@@ -434,8 +502,8 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
             use_nee=bool(use_nee), use_mis=bool(use_mis),
             sky_mode=scene.sky_mode, dof=bool(dof),
             sort_every=int(sort_every), qbits=int(qbits),
-            dir_major=bool(dir_major), compact=bool(compact),
-            interpret=interpret)
+            dir_major=bool(dir_major), dbits=int(dbits),
+            compact=bool(compact), interpret=interpret)
         img = part if img is None else img + part
         s += n
     return img

@@ -1,0 +1,445 @@
+"""Differentiable sorted-wavefront renderer — the large-scene backward pass.
+
+The wavefront engine (kernels/wavefront.py) is the fastest forward at
+10k+ primitives but had no backward at all (VERDICT r2 missing #2).  This
+module makes the whole per-chunk wavefront pipeline differentiable by giving
+each *bounce kernel* a ``jax.custom_vjp`` whose backward is itself a Pallas
+kernel, and leaving every other stage (coherence sort, env-map lookup,
+image scatter) in XLA where autodiff already works:
+
+* **Forward bounce** (``_bounce_fwd_kernel``): the standard frustum-walk
+  bounce, additionally writing per-lane winner residuals to HBM —
+  (hit center, radius, material id, leaf block, slot) + the NEE blocked
+  mask (8 channels).  Exactly the record the fused megakernel keeps in VMEM
+  (megakernel_bvh_grad), but per bounce in HBM because the sort between
+  bounces forces a kernel split.
+
+* **Backward bounce** (``_bounce_bwd_kernel``): no tree walk at all — it
+  replays ``physics.trace_bounce`` under ``jax.vjp`` with the saved winner
+  geometry as differentiable inputs (the detached-selection estimator of
+  core/bvh.intersect_bvh_soa) and emits (d state_in, per-lane geometry
+  cotangents, scalar-uniform grads).  Per-primitive scatter then happens in
+  XLA by the saved (block, slot) keys — sidestepping the fused kernel's
+  O(n_blocks) in-kernel presence scan that capped it at a few thousand
+  spheres (megakernel_bvh_grad.py:23-28).
+
+* **Glue stays autodiff**: sorting is a permutation gather (linear, XLA
+  differentiates it), the env-map bilinear lookup and the final pixel
+  scatter-add are plain jnp — so ``jax.grad`` through
+  ``make_wavefront_render_fn`` composes the whole chain, and
+  pack_blob_jnp / pack_prims_jnp map blob/prim-table cotangents back to
+  scene parameters for free (no hand-written map_raw_grads).
+
+Compaction is disabled under grad (every tile runs): the forward's
+DMA-eliding suffix redirect relies on input/output aliasing that would
+destroy the residual the backward needs.  Sorting stays on — coherence
+still pays in the forward walk.
+
+Reference analog: none (the reference has no differentiability; this is
+the BASELINE config-5 "gradient all-reduce at 10k prims" prerequisite).
+RNG streams and estimator match integrator_soa exactly; parity is pinned in
+tests/test_wavefront_grad.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.scene import SceneData
+from . import physics
+from .megakernel import _SKY_OFF
+from .megakernel_bvh import (BLOCK, _MAT_OFF, _MAT_STRIDE, TH, TILE_LANES,
+                             TILE_ROWS, TW, _make_intersectors, _packed,
+                             pack_blob_jnp, pack_prims_jnp, refit_nodef_jnp)
+from .megakernel_bvh_grad import (_read_lights, _read_mats,
+                                  _rebuilt_intersect)
+from .megakernel_grad import _uniforms
+from .wavefront import (C_ALIVE, C_INIMG, C_MISS, C_PDF, C_SPEC, D_BITS,
+                        N_CH, Q_BITS, TILE, _add_env_radiance,
+                        _raygen_launch, _scatter_image, _scene_sort_bounds,
+                        _sort_rays)
+
+N_RES = 8       # hcx hcy hcz hr hmid hblk hslot blocked
+N_STATE = 13    # differentiable state channels (o, d, th, rad, pdf)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _bounce_fwd_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
+                       st_ref, ids_ref, out_ref, res_ref, blk_scr, *, k,
+                       n_nodes, block, n_mats, mtypes, n_light_slots,
+                       rr_depth, use_nee, use_mis, sky_mode):
+    """Wavefront bounce + winner-residual record (no compaction redirect)."""
+    seed = meta_ref[1].astype(jnp.uint32)
+    nl = meta_ref[2]
+    alive = st_ref[C_ALIVE] > 0.5
+    any_alive = jnp.any(alive)
+    zeros = jnp.zeros_like(st_ref[C_ALIVE])
+
+    @pl.when(jnp.logical_not(any_alive))
+    def _():   # dead tile: state passes through; no winner anywhere
+        for c in range(N_CH):
+            out_ref[c] = st_ref[c]
+        out_ref[C_MISS] = zeros
+        for c in range(N_RES):
+            res_ref[c] = zeros
+        res_ref[4] = zeros - 1.0   # hmid = -1 (no winner)
+
+    @pl.when(any_alive)
+    def _():
+        pid = ids_ref[0].astype(jnp.uint32)
+        sample = ids_ref[1].astype(jnp.uint32)
+        state = tuple(st_ref[c] for c in range(C_PDF + 1))
+        aux = (alive, st_ref[C_SPEC] > 0.5)
+
+        sky = tuple(blob_ref[_SKY_OFF + a]
+                    for a in range(physics.N_SKY_ATTRS))
+        light_off = _MAT_OFF + _MAT_STRIDE * n_mats
+        lights = tuple(
+            tuple(blob_ref[light_off + 7 * l + a] for a in range(7))
+            for l in range(n_light_slots))
+        theta = ((), sky, lights)
+        capture = {}
+        intersect_fn, occluded_fn = _make_intersectors(
+            blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr, n_nodes,
+            block, n_mats, mtypes, capture=capture)
+
+        u = _uniforms(pid, sample, seed, k)
+        want_miss = sky_mode == physics.SKY_ENVMAP
+        cfg = physics.BounceCfg(
+            mtypes=(), k=k, rr_depth=rr_depth, use_nee=use_nee,
+            use_mis=use_mis, sky_mode=sky_mode,
+            n_light_slots=n_light_slots, want_miss=want_miss)
+        state, aux = physics.trace_bounce(
+            theta, state, aux, u, nl, cfg,
+            intersect_fn=intersect_fn, occluded_fn=occluded_fn)
+
+        for c, v in enumerate(state):
+            out_ref[c] = v
+        out_ref[C_ALIVE] = aux[0].astype(jnp.float32)
+        out_ref[C_SPEC] = aux[1].astype(jnp.float32)
+        out_ref[C_INIMG] = st_ref[C_INIMG]
+        out_ref[C_MISS] = (aux[2].astype(jnp.float32) if want_miss
+                           else zeros)
+        for c, key in enumerate(("hcx", "hcy", "hcz", "hr", "hmid",
+                                 "hblk", "hslot")):
+            res_ref[c] = capture[key]
+        res_ref[7] = (capture["blocked"].astype(jnp.float32)
+                      if "blocked" in capture else zeros)
+
+
+def _bounce_bwd_kernel(meta_ref, blob_ref, st_ref, ids_ref, res_ref, ct_ref,
+                       din_ref, dgeo_ref, dscal_ref, *, k, n_mats, mtypes,
+                       n_light_slots, rr_depth, use_nee, use_mis, sky_mode):
+    """Replay one bounce under jax.vjp from the saved residuals.
+
+    Inputs: pre-bounce state tile, ids, winner residuals, cotangent of the
+    post-bounce state.  Outputs: cotangent of the pre-bounce state,
+    per-lane geometry cotangents (d center xyz, d radius), and the
+    scalar-uniform grads (sky + material table + light slots) accumulated
+    across the grid in SMEM.
+    """
+    seed = meta_ref[1].astype(jnp.uint32)
+    nl = meta_ref[2]
+    pid = ids_ref[0].astype(jnp.uint32)
+    sample = ids_ref[1].astype(jnp.uint32)
+    zeros = jnp.zeros_like(st_ref[C_ALIVE])
+
+    sky = tuple(blob_ref[_SKY_OFF + a] for a in range(physics.N_SKY_ATTRS))
+    mats = _read_mats(blob_ref, n_mats)
+    lights = _read_lights(blob_ref, n_mats, n_light_slots)
+
+    state = tuple(st_ref[c] for c in range(N_STATE))
+    aux = (st_ref[C_ALIVE] > 0.5, st_ref[C_SPEC] > 0.5)
+    hcx, hcy, hcz, hr = (res_ref[0], res_ref[1], res_ref[2], res_ref[3])
+    hmid = res_ref[4]
+    blocked = res_ref[7] > 0.5
+
+    u = _uniforms(pid, sample, seed, k)
+    want_miss = sky_mode == physics.SKY_ENVMAP
+    cfg = physics.BounceCfg(
+        mtypes=(), k=k, rr_depth=rr_depth, use_nee=use_nee,
+        use_mis=use_mis, sky_mode=sky_mode, n_light_slots=n_light_slots,
+        want_miss=want_miss)
+
+    def f(theta2, st):
+        sky_t, mats_t, lights_t, cxt, cyt, czt, rt = theta2
+        ifn = _rebuilt_intersect(mats_t, mtypes, cxt, cyt, czt, rt, hmid)
+        ofn = lambda *a: blocked
+        new_state, new_aux = physics.trace_bounce(
+            ((), sky_t, lights_t), st, aux, u, nl, cfg,
+            intersect_fn=ifn, occluded_fn=ofn)
+        return new_state, new_aux
+
+    theta2 = (sky, mats, lights, hcx, hcy, hcz, hr)
+    _, vjp_fn, _ = jax.vjp(f, theta2, state, has_aux=True)
+    state_ct = tuple(ct_ref[c] for c in range(N_STATE))
+    th2_ct, st_ct = vjp_fn(state_ct)
+
+    for c in range(N_STATE):
+        din_ref[c] = st_ct[c]
+    for c in (C_ALIVE, C_SPEC, C_MISS):
+        din_ref[c] = zeros
+    din_ref[C_INIMG] = ct_ref[C_INIMG]   # passes through the fwd kernel
+
+    for a, d in enumerate(th2_ct[3:7]):
+        dgeo_ref[a] = d
+
+    flat = (list(th2_ct[0])
+            + [x for m in th2_ct[1] for x in m]
+            + [x for l in th2_ct[2] for x in l])
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        for i, v in enumerate(flat):
+            dscal_ref[i] = v
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        for i, v in enumerate(flat):
+            dscal_ref[i] += v
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp bounce op
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=128)
+def _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats, mtypes,
+               n_light_slots, rr_depth, use_nee, use_mis, sky_mode,
+               block_prim_ids_key, interpret):
+    """Cached differentiable bounce op for one static configuration.
+
+    ``block_prim_ids_key`` is only part of the cache key (the actual map is
+    re-read from _BLOCK_IDS below) so two scenes with different leaf
+    layouts don't share an op.
+    """
+    n_rows = (n_tiles + 1) * TILE_ROWS
+    n_scal = physics.N_SKY_ATTRS + 8 * n_mats + 7 * n_light_slots
+    stat = dict(k=k, n_mats=n_mats, mtypes=mtypes,
+                n_light_slots=n_light_slots, rr_depth=rr_depth,
+                use_nee=use_nee, use_mis=use_mis, sky_mode=sky_mode)
+
+    def fwd_call(meta, blob, nodef, nodei, prims, st, ids):
+        return pl.pallas_call(
+            functools.partial(_bounce_fwd_kernel, n_nodes=n_nodes,
+                              block=block, **stat),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # nodef
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # nodei
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # prims
+                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
+                                 lambda i, *r: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2, TILE_ROWS, TILE_LANES),
+                                 lambda i, *r: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
+                                 lambda i, *r: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((N_RES, TILE_ROWS, TILE_LANES),
+                                 lambda i, *r: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                scratch_shapes=[pltpu.SMEM((max(n_blocks, 1),), jnp.int32)],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((N_CH, n_rows, TILE_LANES),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((N_RES, n_rows, TILE_LANES),
+                                     jnp.float32),
+            ],
+            interpret=interpret,
+        )(meta, blob, nodef, nodei, prims, st, ids)
+
+    def bwd_call(meta, blob, st, ids, res, ct):
+        return pl.pallas_call(
+            functools.partial(_bounce_bwd_kernel, **stat),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
+                                 lambda i, *r: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2, TILE_ROWS, TILE_LANES),
+                                 lambda i, *r: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((N_RES, TILE_ROWS, TILE_LANES),
+                                 lambda i, *r: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
+                                 lambda i, *r: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
+                                 lambda i, *r: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((4, TILE_ROWS, TILE_LANES),
+                                 lambda i, *r: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((N_CH, n_rows, TILE_LANES),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((4, n_rows, TILE_LANES), jnp.float32),
+                jax.ShapeDtypeStruct((n_scal,), jnp.float32),
+            ],
+            interpret=interpret,
+        )(meta, blob, st, ids, res, ct)
+
+    @jax.custom_vjp
+    def op(meta, blob, nodef, nodei, prims, st, ids):
+        out, _ = fwd_call(meta, blob, nodef, nodei, prims, st, ids)
+        return out
+
+    def op_fwd(meta, blob, nodef, nodei, prims, st, ids):
+        out, res = fwd_call(meta, blob, nodef, nodei, prims, st, ids)
+        return out, (meta, blob, nodef, nodei, prims, st, ids, res)
+
+    def op_bwd(r, ct):
+        meta, blob, nodef, nodei, prims, st, ids, res = r
+        din, dgeo, dscal = bwd_call(meta, blob, st, ids, res, ct)
+
+        # Scalar-uniform grads -> blob layout (sky, material rows, light
+        # rows are contiguous and in the same order as the dscal vector);
+        # the camera prefix carries no gradient.
+        light_off = _MAT_OFF + _MAT_STRIDE * n_mats
+        d_blob = jnp.zeros_like(blob)
+        d_blob = d_blob.at[_SKY_OFF:_SKY_OFF + physics.N_SKY_ATTRS].add(
+            dscal[:physics.N_SKY_ATTRS])
+        d_blob = d_blob.at[_MAT_OFF:_MAT_OFF + 8 * n_mats].add(
+            dscal[physics.N_SKY_ATTRS:physics.N_SKY_ATTRS + 8 * n_mats])
+        if n_light_slots:
+            d_blob = d_blob.at[
+                light_off:light_off + 7 * n_light_slots].add(
+                dscal[physics.N_SKY_ATTRS + 8 * n_mats:])
+
+        # Per-lane geometry cotangents -> leaf prim table rows 0-3, keyed
+        # by the saved (block, slot).  Pure-XLA scatter-add: no O(n_blocks)
+        # presence scan anywhere.
+        rr = dgeo.shape[1] * dgeo.shape[2]
+        hmid = res[4].reshape(rr)
+        blk = jnp.clip(res[5].reshape(rr).astype(jnp.int32), 0,
+                       max(n_blocks - 1, 0))
+        slot = jnp.clip(res[6].reshape(rr).astype(jnp.int32), 0, block - 1)
+        ok = hmid >= 0.0
+        d_prims = jnp.zeros((n_blocks, 5, block), jnp.float32)
+        for a in range(4):
+            d_prims = d_prims.at[blk, a, slot].add(
+                jnp.where(ok, dgeo[a].reshape(rr), 0.0))
+        return (None, d_blob, jnp.zeros_like(nodef),
+                None, d_prims, din, None)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+# ---------------------------------------------------------------------------
+# Differentiable launch + public render-fn factory
+# ---------------------------------------------------------------------------
+
+def _run_wavefront_diff(blob, meta, nodef, nodei, prims, env, *, width,
+                        height, chunk_spp, block, n_mats, mtypes,
+                        n_light_slots, max_bounces, rr_depth, use_nee,
+                        use_mis, sky_mode, dof, sort_every, qbits, dir_major,
+                        dbits, interpret, bpi_key):
+    """One differentiable wavefront chunk -> (H, W, 3) radiance sum."""
+    n_nodes = nodef.shape[0] // 8
+    n_blocks = prims.shape[0]
+    st, ids, n_tiles = _raygen_launch(
+        meta, jax.lax.stop_gradient(blob), width=width, height=height,
+        chunk_spp=chunk_spp, dof=dof, interpret=interpret)
+    lo, ext = _scene_sort_bounds(jax.lax.stop_gradient(nodef))
+    for k in range(max_bounces):
+        if sort_every and k and (k - 1) % sort_every == 0:
+            st, ids, _ = _sort_rays(st, ids, lo, ext, qbits, dir_major,
+                                    dbits)
+        op = _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats,
+                        mtypes, n_light_slots, rr_depth, use_nee, use_mis,
+                        sky_mode, bpi_key, interpret)
+        st = op(meta, blob, nodef, nodei, prims, st, ids)
+        if sky_mode == physics.SKY_ENVMAP:
+            st = _add_env_radiance(st, env)
+    return _scatter_image(st, ids, width, height)
+
+
+def make_wavefront_render_fn(scene: SceneData, camera, width: int,
+                             height: int, *, spp: int, max_bounces: int = 8,
+                             rr_depth: int = 3, use_nee: bool = True,
+                             use_mis: bool = True, seed: int = 0,
+                             sort_every: int = 1, qbits: int = Q_BITS,
+                             dir_major: bool = True, dbits: int = D_BITS,
+                             chunk_rays: int = 2 << 20,
+                             interpret: bool = False):
+    """render(params, start_sample) -> (H, W, 3) mean radiance,
+    differentiable end-to-end via jax.grad.
+
+    ``params`` may contain any subset of diff/pallas_diff.PARAM_KEYS.
+    Geometry params trigger a traceable AABB refit of the walk tables
+    (megakernel_bvh.refit_nodef_jnp).  Gradients reach scene parameters
+    through the traced packers' own VJPs.
+    """
+    from ..diff import gradients as G
+
+    blob0, meta3, nodef0, nodei, _prims0, static = _packed(
+        scene, camera, BLOCK)
+    dof = bool(np.asarray(blob0)[13] > 0.0)
+    env = scene.env_map
+    if env is None or scene.sky_mode != physics.SKY_ENVMAP:
+        env = jnp.zeros((1, 1, 3), jnp.float32)
+    tiles_per_img = pl.cdiv(width, TW) * pl.cdiv(height, TH)
+    rays_per_img = tiles_per_img * TILE
+    chunk_spp = max(1, min(spp, chunk_rays // rays_per_img))
+    bpi_key = static["block_prim_ids"].tobytes()
+    kw = dict(width=width, height=height, block=static["block"],
+              n_mats=static["n_mats"], mtypes=static["mtypes"],
+              n_light_slots=static["n_light_slots"],
+              max_bounces=max_bounces, rr_depth=rr_depth,
+              use_nee=bool(use_nee), use_mis=bool(use_mis),
+              sky_mode=scene.sky_mode, dof=dof,
+              sort_every=int(sort_every), qbits=int(qbits),
+              dir_major=bool(dir_major), dbits=int(dbits),
+              interpret=interpret, bpi_key=bpi_key)
+    inv_spp = 1.0 / spp
+    meta0 = jnp.asarray([0, seed, int(meta3[2])], jnp.int32)
+
+    def render(params, start_sample):
+        sc = G.apply_params(scene, params)
+        if "centers" in params or "radii" in params:
+            nodef = refit_nodef_jnp(sc, static)
+        else:
+            nodef = nodef0
+        blob = pack_blob_jnp(sc, camera, static)
+        prims = pack_prims_jnp(sc, static)
+        img = None
+        s = 0
+        while s < spp:
+            n = min(chunk_spp, spp - s)
+            meta = meta0.at[0].set(
+                jnp.asarray(start_sample, jnp.int32) + s)
+            part = _run_wavefront_diff(
+                blob, meta, jnp.asarray(nodef), jnp.asarray(nodei), prims,
+                env, chunk_spp=n, **kw)
+            img = part if img is None else img + part
+            s += n
+        return img * inv_spp
+
+    return render

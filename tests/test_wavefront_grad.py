@@ -1,0 +1,86 @@
+"""Wavefront backward pass (kernels/wavefront_grad.py) vs the SoA oracle.
+
+The differentiable wavefront pipeline must be estimator-identical to
+jax.grad of the SoA integrator: same RNG streams, same detached-selection
+hit estimator, same NEE/MIS terms.  Interpret mode on CPU; large-scene
+on-chip numbers are recorded by tools/check_wavefront_grad_tpu.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spt_tpu import Camera
+from spt_tpu.diff import gradients as G
+from spt_tpu.engine.integrator_soa import render_megasample_soa
+from spt_tpu.kernels import wavefront_grad as wg
+
+CAM = Camera.look_at((0, 0, -10), (0, 0, 60), fov_degrees=65)
+KW = dict(max_bounces=3, rr_depth=5, use_nee=True, use_mis=True, seed=4)
+W, H, SPP = 24, 16, 2
+
+
+@pytest.fixture(scope="module")
+def scene160():
+    from bench_suite import scene_10k
+    return scene_10k(160).compile(use_bvh=True)
+
+
+@pytest.fixture(scope="module")
+def wf_render(scene160):
+    return wg.make_wavefront_render_fn(
+        scene160, CAM, W, H, spp=SPP, interpret=True, **KW)
+
+
+def _soa_loss(sd):
+    def loss(p):
+        sc = G.apply_params(sd, p)
+        img = render_megasample_soa(sc, CAM, W, H, jnp.arange(SPP), **KW)
+        return jnp.sum(img) / SPP
+    return loss
+
+
+def test_wavefront_forward_matches_soa(scene160, wf_render):
+    params = G.get_params(scene160, ("albedo",))
+    img_w = np.asarray(wf_render(params, 0))
+    img_s = np.asarray(render_megasample_soa(
+        scene160, CAM, W, H, jnp.arange(SPP), **KW)) / SPP
+    assert np.isfinite(img_w).all()
+    close = np.abs(img_w - img_s) < 1e-3 + 0.05 * np.abs(img_s)
+    assert close.mean() > 0.99
+
+
+def test_wavefront_grads_match_soa(scene160, wf_render):
+    params = G.get_params(scene160, ("albedo", "emission", "roughness",
+                                     "centers", "radii"))
+    val_w, g_w = jax.value_and_grad(
+        lambda p: jnp.sum(wf_render(p, 0)))(params)
+    val_s, g_s = jax.value_and_grad(_soa_loss(scene160))(params)
+    np.testing.assert_allclose(float(val_w), float(val_s), rtol=1e-3)
+    for key in ("albedo", "emission", "roughness"):
+        np.testing.assert_allclose(np.asarray(g_w[key]),
+                                   np.asarray(g_s[key]),
+                                   rtol=3e-2, atol=3e-3, err_msg=key)
+    valid = np.asarray(scene160.prim_valid)
+    for key in ("centers", "radii"):
+        a = np.asarray(g_w[key])[valid]
+        b = np.asarray(g_s[key])[valid]
+        scale = np.abs(b).max() + 1e-6
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-2,
+                                   err_msg=key)
+
+
+def test_wavefront_grad_sort_invisible(scene160):
+    """Sorting is a permutation: gradients with/without sorting agree."""
+    params = G.get_params(scene160, ("albedo", "centers"))
+    r1 = wg.make_wavefront_render_fn(
+        scene160, CAM, W, H, spp=1, sort_every=1, interpret=True, **KW)
+    r0 = wg.make_wavefront_render_fn(
+        scene160, CAM, W, H, spp=1, sort_every=0, interpret=True, **KW)
+    g1 = jax.grad(lambda p: jnp.sum(r1(p, 0)))(params)
+    g0 = jax.grad(lambda p: jnp.sum(r0(p, 0)))(params)
+    for key in params:
+        np.testing.assert_allclose(np.asarray(g1[key]),
+                                   np.asarray(g0[key]),
+                                   rtol=1e-4, atol=1e-6, err_msg=key)

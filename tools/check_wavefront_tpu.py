@@ -31,11 +31,18 @@ img_w = np.asarray(wavefront.render_wavefront(
 img_s = np.asarray(render_megasample_soa(
     sd_small, cam, 128, 128, jnp.arange(2), **kw))
 close = np.abs(img_w - img_s) < 1e-3 + 0.05 * np.abs(img_s)
+frac_close = float(close.mean())
+finite = bool(np.isfinite(img_w).all())
 print(json.dumps({"check": "parity-300prim-128px",
-                  "frac_close": round(float(close.mean()), 4),
+                  "frac_close": round(frac_close, 4),
                   "mean_abs_diff": round(float(np.abs(img_w - img_s).mean()),
                                          6),
-                  "finite": bool(np.isfinite(img_w).all())}), flush=True)
+                  "finite": finite}), flush=True)
+# CI-usable gate: a hardware-only compaction regression (stale out-block
+# class, CLAUDE.md) must FAIL this tool, not just print numbers.
+if frac_close < 0.99 or not finite:
+    print(json.dumps({"check": "parity-300prim-128px", "ok": False}))
+    sys.exit(1)
 
 sd = bench_suite.scene_10k(10_000).compile()
 t0 = time.time()
