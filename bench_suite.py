@@ -269,7 +269,8 @@ def bench_config5(quick):
     from spt_tpu import Camera
     from spt_tpu.diff import gradients as G
     from spt_tpu.engine.integrator_soa import render_megasample_soa
-    from spt_tpu.kernels import megakernel_bvh, megakernel_bvh_grad, wavefront
+    from spt_tpu.kernels import (megakernel_bvh, megakernel_bvh_grad,
+                                 wavefront, wavefront_grad)
     sd = scene_10k(2000 if quick else 10_000).compile()
     assert sd.bvh is not None
     cam = Camera.look_at((0, 0, -10), (0, 0, 60), fov_degrees=65)
@@ -280,80 +281,60 @@ def bench_config5(quick):
     SPP = 1 if quick else 4
     reps = 3 if quick else 1  # full runs are tens of seconds each
     interp = jax.default_backend() != "tpu"
-    # Three forward engines measured: the Pallas packet-BVH megakernel
-    # (full-depth, coherence decays with bounce), the sorted-wavefront
+    # Forward engines measured: the Pallas packet-BVH megakernel
+    # (full-depth, coherence decays with bounce) and the sorted-wavefront
     # renderer (bounce-split kernels + ray binning, which restores packet
-    # coherence and compacts RR casualties), and the pure-XLA SoA
-    # integrator (per-lane divergent BVH traversal, gather-based).  The
-    # Pallas engines run first: the SoA gather path can fault the v5e
-    # worker on large dispatches even row-banded (any fault then poisons
-    # every later TPU op in the process), so its measurements are guarded
-    # and ordered last — a crash costs the soa columns, not the row.
+    # coherence and compacts RR casualties).  The pure-XLA SoA integrator
+    # is formally RETIRED from this row (VERDICT r2 next #4a/#7): its
+    # gather-based dispatch faults the v5e tunnel worker above ~131k lanes
+    # per dispatch (960x135 renders, 960x270 faults — see _largest_band),
+    # row-banding under that bound still proved fault-prone at this frame
+    # size, and a fault poisons every later TPU op in the process.  The
+    # SoA integrator remains the CPU-side oracle for all parity tests.
+    BLK = 256 if not interp else 32   # sync-bound walk wants fat leaves
     dt_f_pal = timed(lambda s0: megakernel_bvh.render_tiles_bvh(
-        sd, cam, W, H, s0, SPP, interpret=interp, **kw), 0, reps=reps)
+        sd, cam, W, H, s0, SPP, block=BLK, interpret=interp, **kw),
+        0, reps=reps)
     dt_f_wav = timed(lambda s0: wavefront.render_wavefront(
-        sd, cam, W, H, s0, SPP, interpret=interp, **kw), 0, reps=reps)
+        sd, cam, W, H, s0, SPP, block=BLK, interpret=interp, **kw),
+        0, reps=reps)
 
-    # fwd+bwd: gradient w.r.t. all scene parameters via the fused
-    # path-replay BVH kernel (SoA jax.grad measured in the guarded block).
+    # fwd+bwd at FULL resolution (the r2 half-res shortcut is gone):
+    # gradients w.r.t. all scene parameters via (a) the fused path-replay
+    # BVH kernel and (b) the differentiable sorted-wavefront pipeline.
     params = G.get_params(sd, ("albedo", "roughness", "centers", "radii"))
-    GW, GH = (W // 2, H // 2)  # gradient pass at half res, standard practice
     dt_b_pal = timed(lambda s0: megakernel_bvh_grad.render_and_grad_bvh(
-        sd, cam, GW, GH, s0, SPP, interpret=interp, **kw), 0, reps=reps)
+        sd, cam, W, H, s0, SPP, block=BLK, interpret=interp, **kw),
+        0, reps=reps)
+    wg_render = wavefront_grad.make_wavefront_render_fn(
+        sd, cam, W, H, spp=SPP, block=BLK, interpret=interp, **kw)
+    wg_grad = jax.jit(lambda p, s0: jax.grad(
+        lambda q: jnp.sum(wg_render(q, s0)))(p))
+    dt_b_wav = timed(lambda s0: wg_grad(params, s0), jnp.int32(0),
+                     reps=reps)
 
-    band = _largest_band(H, W)
-    gband = _largest_band(GH, GW)
-    dt_f_soa = dt_b_soa = None
-    try:
-        fwd_band = jax.jit(lambda sc, ids, ro: render_megasample_soa(
-            sc, cam, W, band, ids, row_offset=ro, full_height=H, **kw))
-
-        def fwd(sc, ids):
-            return jnp.concatenate([fwd_band(sc, ids, jnp.int32(ro))
-                                    for ro in range(0, H, band)], axis=0)
-
-        dt_f_soa = timed(fwd, sd, jnp.arange(SPP), reps=reps)
-
-        def loss(p, ids, ro):
-            img = render_megasample_soa(
-                G.apply_params(sd, p), cam, GW, gband, ids, row_offset=ro,
-                full_height=GH, **kw)
-            return jnp.mean(img)
-
-        gfn_band = jax.jit(jax.grad(loss))
-
-        def gfn(p, ids):
-            out = None
-            for ro in range(0, GH, gband):
-                g = gfn_band(p, ids, jnp.int32(ro))
-                out = g if out is None else jax.tree.map(jnp.add, out, g)
-            return out
-
-        dt_b_soa = timed(gfn, params, jnp.arange(SPP), reps=reps)
-    except Exception as e:  # device fault: keep the Pallas-engine row
-        log(f"config 5: SoA engine failed ({type(e).__name__}); "
-            "recording Pallas engines only")
-
-    cands = [(dt_f_pal, "pallas-bvh"), (dt_f_wav, "wavefront")]
-    if dt_f_soa is not None:
-        cands.append((dt_f_soa, "soa-xla"))
-    dt_f, fwd_engine = min(cands)
+    dt_f, fwd_engine = min([(dt_f_pal, "pallas-bvh"),
+                            (dt_f_wav, "wavefront")])
     fwd_rays = SPP * segs * W * H / dt_f
-    dt_b = dt_b_pal if dt_b_soa is None else min(dt_b_pal, dt_b_soa)
-    fb_rays = SPP * segs * GW * GH / dt_b
-    rnd = lambda v: None if v is None else round(v, 4)
+    dt_b, bwd_engine = min([(dt_b_pal, "pallas-bvh-fused"),
+                            (dt_b_wav, "wavefront-grad")])
+    fb_rays = SPP * segs * W * H / dt_b
     return {"config": 5, "name": f"10k-prim BVH {W}x{H} d8 NEE+MIS",
             "spp": SPP, "quick": quick,
             "n_prims": sd.num_prims,
             "fwd_rays_per_s": round(fwd_rays),
             "fwd_bwd_rays_per_s": round(fb_rays),
             "fwd_engine": fwd_engine,
-            "soa_row_band": band,
-            "wall_s_fwd_soa": rnd(dt_f_soa),
+            "bwd_engine": bwd_engine,
+            "fwd_bwd_resolution": f"{W}x{H}",
             "wall_s_fwd_pallas_bvh": round(dt_f_pal, 4),
             "wall_s_fwd_wavefront": round(dt_f_wav, 4),
-            "wall_s_fwd_bwd_soa": rnd(dt_b_soa),
             "wall_s_fwd_bwd_pallas_bvh": round(dt_b_pal, 4),
+            "wall_s_fwd_bwd_wavefront": round(dt_b_wav, 4),
+            "soa_engine": "retired on TPU: v5e worker faults above ~131k-"
+                          "lane gathers (960x135 ok, 960x270 faults; see "
+                          "_largest_band); CPU parity oracle only",
+            "extrapolated_wall_1024spp_s": round(dt_f * 1024 / SPP, 1),
             "segments_per_path": round(segs, 3)}
 
 

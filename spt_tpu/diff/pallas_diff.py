@@ -39,18 +39,34 @@ PARAM_KEYS = ("albedo", "emission", "roughness", "centers", "radii")
 # route to the packet-BVH kernel pair (same cap as engine/pallas_backend).
 SMEM_PRIM_CAP = 128
 
+# Above this the fused BVH grad kernel's O(n_blocks)-per-bounce in-kernel
+# presence scan (megakernel_bvh_grad.py) loses to the differentiable
+# sorted-wavefront pipeline, whose per-prim scatter is a pure-XLA
+# scatter-add (kernels/wavefront_grad.py).
+FUSED_GRAD_PRIM_CAP = 2048
+
 
 def make_pallas_render_fn(scene: SceneData, camera, width: int, height: int,
                           *, spp: int, max_bounces: int = 6,
                           rr_depth: int = 3, use_nee: bool = True,
                           use_mis: bool = True, seed: int = 0,
-                          interpret: bool = False):
-    """render(params, start_sample) -> (H, W, 3) mean radiance, custom VJP.
+                          engine: str = "auto", interpret: bool = False):
+    """render(params, start_sample) -> (H, W, 3) mean radiance,
+    differentiable (custom VJP kernels under jax.grad).
 
     ``params`` may contain any subset of PARAM_KEYS; other scene values are
     closed over.  ``start_sample`` rotates the RNG streams across optimizer
-    steps (a traced scalar is fine).
+    steps (a traced scalar is fine).  ``engine``: "auto" routes by scene
+    size (SMEM megakernel -> fused BVH kernel -> differentiable wavefront);
+    "fused" / "wavefront" force the large-scene engines.
     """
+    if engine == "wavefront" or (engine == "auto"
+                                 and scene.capacity > FUSED_GRAD_PRIM_CAP):
+        from ..kernels import wavefront_grad
+        return wavefront_grad.make_wavefront_render_fn(
+            scene, camera, width, height, spp=spp, max_bounces=max_bounces,
+            rr_depth=rr_depth, use_nee=use_nee, use_mis=use_mis, seed=seed,
+            interpret=interpret)
     if scene.capacity > SMEM_PRIM_CAP:
         return _make_bvh_render_fn(
             scene, camera, width, height, spp=spp, max_bounces=max_bounces,

@@ -24,6 +24,17 @@ from .api import JaxPathTracer, register_backend
 # pure-JAX backend's BVH path.
 MAX_PALLAS_PRIMS = 128
 
+# Leaf-block width for the packet-BVH engines: the walk is sync-bound per
+# node on hardware, so big scenes want few fat leaf blocks (config-5 sweep:
+# block 32/64/128/256 = 9.41/7.89/7.08/6.69 s) — while interpret-mode
+# tests want short unrolls.
+TPU_LEAF_BLOCK = 256
+
+
+def _leaf_block(capacity: int, on_tpu: bool) -> int:
+    from ..kernels.megakernel_bvh import BLOCK
+    return TPU_LEAF_BLOCK if (on_tpu and capacity > 2048) else BLOCK
+
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
@@ -47,7 +58,9 @@ class PallasPathTracer(JaxPathTracer):
                 self._scene_data, camera, s.width, s.height, start_sample,
                 spp, max_bounces=s.max_bounces,
                 rr_depth=s.russian_roulette_depth, use_nee=s.use_nee,
-                use_mis=s.use_mis, seed=s.seed, interpret=not _on_tpu())
+                use_mis=s.use_mis, seed=s.seed,
+                block=_leaf_block(self._scene_data.capacity, _on_tpu()),
+                interpret=not _on_tpu())
         if self._scene_data.capacity > MAX_PALLAS_PRIMS:
             # Large scenes: the BVH traversal megakernel.
             from ..kernels import megakernel_bvh
@@ -55,7 +68,9 @@ class PallasPathTracer(JaxPathTracer):
                 self._scene_data, camera, s.width, s.height, start_sample,
                 spp, max_bounces=s.max_bounces,
                 rr_depth=s.russian_roulette_depth, use_nee=s.use_nee,
-                use_mis=s.use_mis, seed=s.seed, interpret=not _on_tpu())
+                use_mis=s.use_mis, seed=s.seed,
+                block=_leaf_block(self._scene_data.capacity, _on_tpu()),
+                interpret=not _on_tpu())
         return megakernel.render_tiles(
             self._scene_data, camera, s.width, s.height, start_sample, spp,
             max_bounces=s.max_bounces, rr_depth=s.russian_roulette_depth,

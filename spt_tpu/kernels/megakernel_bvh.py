@@ -8,19 +8,19 @@ The reference's analog is Embree BVH traversal in the hot loop
 CPUPathTracer.cpp:227 ``rtcIntersect1``; build :374-403) — re-designed here
 for the TPU's vector/scalar split instead of per-ray pointer chasing:
 
-* **Frustum packet traversal — the walk lives in the scalar unit.**  All
-  1024 rays of an (8, 128) tile walk the flattened skip-link BVH
-  (core/bvh.py layout) together behind ONE scalar node pointer.  Per node,
-  descend-vs-skip is decided by ~50 *scalar* ops of interval arithmetic
-  against the packet's precomputed frustum (origin AABB x inverse-direction
-  bounds, 12 vector reductions once per walk) — no per-node VPU work and,
-  critically, no per-node vector->scalar ``any()`` sync; those serialized
-  the old walk at one latency-bound step per node (VERDICT r2 missing #1).
-  Per-lane pointer chasing (the GPU pattern) would need per-lane gathers
-  the TPU doesn't like; the frustum walk keeps ALL traversal control flow
-  scalar and saves the vector unit for leaf sweeps.  A direction-sign-
-  impure axis (rare post-sort) degrades to pass-always — correct, just
-  less pruning.
+* **Packet traversal, scalar control, tiered culling.**  All 1024 rays of
+  an (8, 128) tile walk the flattened skip-link BVH (core/bvh.py layout)
+  together behind ONE scalar node pointer; per node a per-lane VPU slab
+  test + a single ``any()`` decides descend-vs-skip.  For TIGHT packets
+  (camera tiles, ``frustum=True``) a ~50-scalar-op interval test against
+  the packet frustum (origin AABB x inverse-direction bounds) pre-rejects
+  nodes before any vector work — measured win for primaries, measured
+  LOSS for wide-cone bounce packets whose inverse-direction intervals are
+  unbounded (the filter then never rejects and its cost is pure overhead,
+  +21% on config 5 when always-on), so bounce-level callers gate it to
+  k == 0.  Per-lane pointer chasing (the GPU pattern) would need per-lane
+  gathers the TPU doesn't like; packet traversal keeps all control flow
+  scalar and all math vector.
 
 * **Leaf sweeps interleave with the walk** (nearest-hit): a leaf's spheres
   are tested the moment its node is reached, so every subsequent AABB test
@@ -404,7 +404,7 @@ def _node_interval_test(nodef_ref, row, fr, t_pack):
 
 
 def _walk_collect(nodef_ref, nodei_ref, blk_scr, ox, oy, oz, ivx, ivy, ivz,
-                  active, tmax, n_nodes, obase=0):
+                  active, tmax, n_nodes, obase=0, frustum=True):
     """Phase 1: frustum-walk the skip-link tree; collect hit leaf blocks.
 
     Returns the number of collected blocks (scalar i32); block ids are in
@@ -412,12 +412,13 @@ def _walk_collect(nodef_ref, nodei_ref, blk_scr, ox, oy, oz, ivx, ivy, ivz,
     ``obase`` selects the octant-ordered table (octant * n_nodes row
     offset into the stacked layouts, see ``_octant_tables``).
 
-    Internal nodes are culled by the scalar interval test; at leaves a
-    per-lane vector slab test confirms at least one lane truly hits before
-    the block id is recorded (keeps the phase-2 sweep list short for
-    incoherent packets).
+    ``frustum`` enables the scalar interval pre-filter — worth it only for
+    tight packets (camera tiles); wide-cone packets pay its ~50 scalar ops
+    per node without rejecting anything (measured +21% on config 5 when
+    always-on), so bounce-level callers pass ``frustum=(k == 0)``.
     """
-    fr = _frustum_setup((ox, oy, oz), (ivx, ivy, ivz), active)
+    fr = (_frustum_setup((ox, oy, oz), (ivx, ivy, ivz), active)
+          if frustum else None)
     any_active = jnp.any(active)
     t_pack = jnp.max(jnp.where(active, tmax, jnp.float32(0.0)))
 
@@ -427,7 +428,6 @@ def _walk_collect(nodef_ref, nodei_ref, blk_scr, ox, oy, oz, ivx, ivy, ivz,
     def body(c):
         ptr, n_found = c
         row = obase + ptr
-        hitf = _node_interval_test(nodef_ref, row, fr, t_pack)
         skip = nodei_ref[row, 0]
         blk = nodei_ref[row, 1]
         is_leaf = blk >= 0
@@ -456,7 +456,11 @@ def _walk_collect(nodef_ref, nodei_ref, blk_scr, ox, oy, oz, ivx, ivy, ivz,
             hit_box = (tn <= tf) & (tf > TMIN) & (tn < tmax) & active
             return jnp.any(hit_box).astype(jnp.int32)
 
-        anyh = jax.lax.cond(hitf, vec_any, lambda _: jnp.int32(0), 0)
+        if frustum:
+            hitf = _node_interval_test(nodef_ref, row, fr, t_pack)
+            anyh = jax.lax.cond(hitf, vec_any, lambda _: jnp.int32(0), 0)
+        else:
+            anyh = vec_any(0)
         take = anyh * is_leaf.astype(jnp.int32)
 
         @pl.when(take > 0)
@@ -475,7 +479,7 @@ def _walk_collect(nodef_ref, nodei_ref, blk_scr, ox, oy, oz, ivx, ivy, ivz,
 
 def _walk_nearest(nodef_ref, nodei_ref, prim_ref, ox, oy, oz, dx, dy, dz,
                   ivx, ivy, ivz, active, n_nodes, block, with_ids=False,
-                  obase=0):
+                  obase=0, frustum=True):
     """Frustum packet walk with interleaved leaf sweeps (nearest hit).
 
     Internal nodes are culled by the scalar interval test
@@ -490,9 +494,15 @@ def _walk_nearest(nodef_ref, nodei_ref, prim_ref, ox, oy, oz, dx, dy, dz,
     carry (8,128) i1 vectors through while/cond).  Winner carry: (t,
     center, radius, material id); ``with_ids`` additionally carries the
     winner's (leaf block, slot) as f32 — the gradient kernel's scatter keys.
+
+    ``frustum`` gates the scalar pre-filter — pass it only for tight
+    packets (camera tiles, k == 0): wide-cone bounce packets pay its ~50
+    scalar ops per node without rejecting (measured +21% on config 5
+    when always-on).
     """
     zero = jnp.zeros_like(ox)
-    fr = _frustum_setup((ox, oy, oz), (ivx, ivy, ivz), active)
+    fr = (_frustum_setup((ox, oy, oz), (ivx, ivy, ivz), active)
+          if frustum else None)
     any_active = jnp.any(active)
 
     def cond(c):
@@ -501,7 +511,6 @@ def _walk_nearest(nodef_ref, nodei_ref, prim_ref, ox, oy, oz, dx, dy, dz,
     def body(c):
         ptr, t_pack = c[0], c[1]
         row = obase + ptr
-        hitf = _node_interval_test(nodef_ref, row, fr, t_pack)
         skip = nodei_ref[row, 0]
         blk = nodei_ref[row, 1]
         is_leaf = blk >= 0
@@ -533,7 +542,12 @@ def _walk_nearest(nodef_ref, nodei_ref, prim_ref, ox, oy, oz, dx, dy, dz,
             hit_box = (tn <= tf) & (tf > TMIN) & (tn < t) & active
             return jnp.any(hit_box).astype(jnp.int32)
 
-        anyh = jax.lax.cond(hitf, vec_any, lambda cc: jnp.int32(0), c) > 0
+        if frustum:
+            hitf = _node_interval_test(nodef_ref, row, fr, c[1])
+            anyh = jax.lax.cond(hitf, vec_any,
+                                lambda cc: jnp.int32(0), c) > 0
+        else:
+            anyh = vec_any(c) > 0
 
         def leaf_fn(cc):
             t_pack, t, hcx, hcy, hcz, hr, hmid = cc[:7]
@@ -564,9 +578,13 @@ def _walk_nearest(nodef_ref, nodei_ref, prim_ref, ox, oy, oz, dx, dy, dz,
                                        ids[0])
                     ids[1] = jnp.where(ok, jnp.float32(j), ids[1])
             # Re-tighten the scalar distance bound (exact packet-level
-            # culling once every active lane carries a hit).
-            t_pack = jnp.minimum(
-                t_pack, jnp.max(jnp.where(active, t, jnp.float32(0.0))))
+            # culling once every active lane carries a hit).  Only useful
+            # (and only worth the vector->scalar reduce) when the frustum
+            # filter consumes it.
+            if frustum:
+                t_pack = jnp.minimum(
+                    t_pack,
+                    jnp.max(jnp.where(active, t, jnp.float32(0.0))))
             return (t_pack, t, hcx, hcy, hcz, hr, hmid, *ids)
 
         carry = jax.lax.cond(anyh & is_leaf, leaf_fn, lambda cc: cc, c[1:])
@@ -634,7 +652,8 @@ def _packet_obase(dx, dy, dz, active, n_nodes):
 
 
 def _make_intersectors(blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr,
-                       n_nodes, block, n_mats, mtypes, capture=None):
+                       n_nodes, block, n_mats, mtypes, capture=None,
+                       frustum=True):
     """Build (intersect_fn, occluded_fn) closures for physics.trace_bounce.
 
     ``capture`` (dict or None): when given, the walk runs ``with_ids`` and
@@ -649,7 +668,8 @@ def _make_intersectors(blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr,
             nodef_ref, nodei_ref, prim_ref, ox, oy, oz, dx, dy, dz,
             ivx, ivy, ivz, active, n_nodes, block,
             with_ids=capture is not None,
-            obase=_packet_obase(dx, dy, dz, active, n_nodes))
+            obase=_packet_obase(dx, dy, dz, active, n_nodes),
+            frustum=frustum)
         if capture is not None:
             t, hcx, hcy, hcz, hr, hmid, hblk, hslot = out
             capture.update(hcx=hcx, hcy=hcy, hcz=hcz, hr=hr, hmid=hmid,
@@ -689,7 +709,8 @@ def _make_intersectors(blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr,
         n_found = _walk_collect(nodef_ref, nodei_ref, blk_scr, ox, oy, oz,
                                 ivx, ivy, ivz, need, tmax, n_nodes,
                                 obase=_packet_obase(dx, dy, dz, need,
-                                                    n_nodes))
+                                                    n_nodes),
+                                frustum=frustum)
         blocked = _leaf_sweep_anyhit(prim_ref, blk_scr, n_found, ox, oy, oz,
                                      dx, dy, dz, need, tmax, block)
         if capture is not None:
@@ -731,9 +752,12 @@ def _kernel_bvh(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref, out_ref,
         for l in range(n_light_slots))
     theta = ((), sky, lights)
 
+    intersect_f0, occluded_f0 = _make_intersectors(
+        blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr, n_nodes, block,
+        n_mats, mtypes, frustum=True)
     intersect_fn, occluded_fn = _make_intersectors(
         blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr, n_nodes, block,
-        n_mats, mtypes)
+        n_mats, mtypes, frustum=False)
 
     ox, oy, oz, dx, dy, dz = _raygen(blob_ref, pid, pxc, pyc, sample, seed,
                                      width, height, dof=dof)
@@ -750,7 +774,8 @@ def _kernel_bvh(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref, out_ref,
             use_mis=use_mis, sky_mode=sky_mode, n_light_slots=n_light_slots)
         state, aux = physics.trace_bounce(
             theta, state, aux, u, nl, cfg,
-            intersect_fn=intersect_fn, occluded_fn=occluded_fn)
+            intersect_fn=intersect_f0 if k == 0 else intersect_fn,
+            occluded_fn=occluded_f0 if k == 0 else occluded_fn)
 
     rad_r = jnp.where(in_image, state[9], 0.0)
     rad_g = jnp.where(in_image, state[10], 0.0)

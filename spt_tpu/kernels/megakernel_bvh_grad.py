@@ -160,7 +160,8 @@ def _kernel_bvh_grad(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
         t_w, hcx, hcy, hcz, hr, hmid, hblk, hslot = _walk_nearest(
             nodef_ref, nodei_ref, prim_ref, sox, soy, soz, sdx, sdy, sdz,
             ivx, ivy, ivz, aux[0], n_nodes, block, with_ids=True,
-            obase=_packet_obase(sdx, sdy, sdz, aux[0], n_nodes))
+            obase=_packet_obase(sdx, sdy, sdz, aux[0], n_nodes),
+            frustum=k == 0)
         for i, arr in enumerate((hcx, hcy, hcz, hr, hmid, hblk, hslot)):
             hit_scr[k, i] = arr
 
@@ -169,7 +170,8 @@ def _kernel_bvh_grad(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
             n_found = _walk_collect(nodef_ref, nodei_ref, blk_scr, pox, poy,
                                     poz, lvx, lvy, lvz, need, tmax, n_nodes,
                                     obase=_packet_obase(ldx, ldy, ldz, need,
-                                                        n_nodes))
+                                                        n_nodes),
+                                    frustum=k == 0)
             blocked = _leaf_sweep_anyhit(prim_ref, blk_scr, n_found, pox,
                                          poy, poz, ldx, ldy, ldz, need,
                                          tmax, block)

@@ -222,7 +222,7 @@ def _bounce_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
         theta = ((), sky, lights)
         intersect_fn, occluded_fn = _make_intersectors(
             blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr, n_nodes,
-            block, n_mats, mtypes)
+            block, n_mats, mtypes, frustum=k == 0)
 
         u = _uniforms(pid, sample, seed, k)
         want_miss = sky_mode == physics.SKY_ENVMAP

@@ -77,7 +77,13 @@ def _bounce_fwd_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
                        st_ref, ids_ref, out_ref, res_ref, blk_scr, *, k,
                        n_nodes, block, n_mats, mtypes, n_light_slots,
                        rr_depth, use_nee, use_mis, sky_mode):
-    """Wavefront bounce + winner-residual record (no compaction redirect)."""
+    """Wavefront bounce + winner-residual record (no compaction redirect).
+
+    The grid INCLUDES the trailing pad tile (unlike the aliased non-grad
+    launch): without input/output aliasing a skipped tile's out/res rows
+    would hold stale garbage on hardware, and the sort would read its
+    flags.  The pad tile takes the dead-tile branch (raygen zeroes its
+    flags), so its state passes through zeroed every bounce."""
     seed = meta_ref[1].astype(jnp.uint32)
     nl = meta_ref[2]
     alive = st_ref[C_ALIVE] > 0.5
@@ -110,7 +116,7 @@ def _bounce_fwd_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
         capture = {}
         intersect_fn, occluded_fn = _make_intersectors(
             blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr, n_nodes,
-            block, n_mats, mtypes, capture=capture)
+            block, n_mats, mtypes, capture=capture, frustum=k == 0)
 
         u = _uniforms(pid, sample, seed, k)
         want_miss = sky_mode == physics.SKY_ENVMAP
@@ -235,7 +241,7 @@ def _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats, mtypes,
                               block=block, **stat),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(n_tiles,),
+                grid=(n_tiles + 1,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # nodef
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # nodei
@@ -271,7 +277,7 @@ def _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats, mtypes,
             functools.partial(_bounce_bwd_kernel, **stat),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(n_tiles,),
+                grid=(n_tiles + 1,),
                 in_specs=[
                     pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
                                  lambda i, *r: (0, i, 0),
@@ -387,6 +393,7 @@ def make_wavefront_render_fn(scene: SceneData, camera, width: int,
                              use_mis: bool = True, seed: int = 0,
                              sort_every: int = 1, qbits: int = Q_BITS,
                              dir_major: bool = True, dbits: int = D_BITS,
+                             block: int = BLOCK,
                              chunk_rays: int = 2 << 20,
                              interpret: bool = False):
     """render(params, start_sample) -> (H, W, 3) mean radiance,
@@ -400,7 +407,7 @@ def make_wavefront_render_fn(scene: SceneData, camera, width: int,
     from ..diff import gradients as G
 
     blob0, meta3, nodef0, nodei, _prims0, static = _packed(
-        scene, camera, BLOCK)
+        scene, camera, block)
     dof = bool(np.asarray(blob0)[13] > 0.0)
     env = scene.env_map
     if env is None or scene.sky_mode != physics.SKY_ENVMAP:

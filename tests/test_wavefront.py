@@ -28,12 +28,19 @@ W = H = 64
 
 
 def test_wavefront_matches_soa(scene300):
+    """Parity vs the SoA oracle.  Identical RNG streams make the two
+    estimators near-bit-equal except at knife-edge hits: a grazing
+    intersection with t within float noise of TMIN flips the strict
+    accept comparison (the walk's t skips the 1/|d|^2 normalization the
+    oracle applies), sending the two paths down different—both valid—
+    histories.  Measured: <=1% of pixels diverge; the rest agree to
+    ~1e-6, so the gate is tight (1e-4 + 0.1% rel) on >=99% of pixels."""
     img_w = np.asarray(wavefront.render_wavefront(
         scene300, CAM, W, H, 0, 2, interpret=True, **KW))
     img_s = np.asarray(render_megasample_soa(
         scene300, CAM, W, H, jnp.arange(2), **KW))
     assert np.isfinite(img_w).all()
-    close = np.abs(img_w - img_s) < 1e-3 + 0.05 * np.abs(img_s)
+    close = np.abs(img_w - img_s) < 1e-4 + 1e-3 * np.abs(img_s)
     assert close.mean() > 0.99, f"only {close.mean():.4f} of pixels close"
 
 

@@ -1,0 +1,95 @@
+"""On-chip check + timing for the differentiable wavefront pipeline.
+
+1. Parity: gradients of a 300-prim 64x64 render via the Mosaic wavefront
+   backward vs jax.grad of the SoA oracle evaluated on the host CPU
+   (identical RNG streams; masked to forward-agreeing pixels like
+   tests/test_wavefront_grad.py — knife-edge hits may pick different valid
+   paths).  Exits nonzero on failure (CI-usable).
+2. Timing: config-5 fwd+bwd (10k prims, 1920x1080, full res) with all
+   scene-parameter gradients.
+
+Usage: python tools/check_wavefront_grad_tpu.py [--skip-timing]
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+import bench_suite  # noqa: E402
+from spt_tpu import Camera  # noqa: E402
+from spt_tpu.diff import gradients as G  # noqa: E402
+from spt_tpu.engine.integrator_soa import render_megasample_soa  # noqa: E402
+from spt_tpu.kernels import wavefront_grad as wg  # noqa: E402
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--skip-timing", action="store_true")
+args = ap.parse_args()
+
+bench_suite.enable_compile_cache()
+cam = Camera.look_at((0, 0, -10), (0, 0, 60), fov_degrees=65)
+interp = jax.default_backend() != "tpu"
+kw = dict(max_bounces=3, rr_depth=5, use_nee=True, use_mis=True, seed=4)
+W = H = 64
+SPP = 2
+
+sd = bench_suite.scene_10k(300).compile(use_bvh=True)
+params = G.get_params(sd, ("albedo", "emission", "roughness",
+                           "centers", "radii"))
+render = wg.make_wavefront_render_fn(sd, cam, W, H, spp=SPP,
+                                     interpret=interp, **kw)
+img_w = np.asarray(render(params, 0))
+
+cpu = jax.devices("cpu")[0]
+with jax.default_device(cpu):
+    img_s = np.asarray(render_megasample_soa(
+        sd, cam, W, H, jnp.arange(SPP), **kw)) / SPP
+agree = (np.abs(img_w - img_s) < 1e-4 + 1e-3 * np.abs(img_s)).all(-1)
+mask = jnp.asarray(agree[:, :, None].astype(np.float32))
+
+g_w = jax.grad(lambda p: jnp.sum(render(p, 0) * mask))(params)
+with jax.default_device(cpu):
+    def loss(p):
+        sc = G.apply_params(sd, p)
+        img = render_megasample_soa(sc, cam, W, H, jnp.arange(SPP), **kw)
+        return jnp.sum(img * jax.device_put(mask, cpu)) / SPP
+    g_s = jax.grad(loss)(params)
+
+ok = bool(agree.mean() >= 0.99)
+stats = {}
+for key in params:
+    a, b = np.asarray(g_w[key]), np.asarray(g_s[key])
+    scale = np.abs(b).max() + 1e-6
+    err = np.abs(a - b).max() / scale
+    stats[key] = round(float(err), 5)
+    ok = ok and np.isfinite(a).all() and err < 3e-2
+print(json.dumps({"check": "wavefront-grad-parity-300prim-64px",
+                  "fwd_frac_agree": round(float(agree.mean()), 4),
+                  "rel_grad_err_by_field": stats, "ok": ok}), flush=True)
+if not ok:
+    sys.exit(1)
+
+if not args.skip_timing:
+    sd10 = bench_suite.scene_10k(10_000).compile()
+    kw5 = dict(max_bounces=8, rr_depth=3, use_nee=True, use_mis=True,
+               seed=5)
+    params10 = G.get_params(sd10, ("albedo", "roughness", "centers",
+                                   "radii"))
+    r5 = wg.make_wavefront_render_fn(sd10, cam, 1920, 1080, spp=4,
+                                     interpret=interp, **kw5)
+    gfn = jax.jit(lambda p, s0: jax.grad(
+        lambda q: jnp.sum(r5(q, s0)))(p))
+    t0 = time.time()
+    dt = bench_suite.timed(lambda s0: gfn(params10, s0), jnp.int32(0),
+                           reps=1)
+    rays = 1920 * 1080 * 4 * 4.015
+    print(json.dumps({"check": "config5-fwd-bwd-wavefront-fullres",
+                      "wall_s": round(dt, 3),
+                      "Mrays_s": round(rays / dt / 1e6, 2),
+                      "compile_s": round(time.time() - t0 - dt, 1)}),
+          flush=True)
