@@ -77,7 +77,8 @@ def write_npy(path: str, img) -> None:
 
 
 def write_image(path: str, img) -> None:
-    """Dispatch on extension: .png / .ppm / .npy / .hdr (Radiance RGBE)."""
+    """Dispatch on extension: .png / .ppm / .npy / .hdr (Radiance RGBE) /
+    .exr (float OpenEXR)."""
     lower = path.lower()
     if lower.endswith(".png"):
         write_png(path, img)
@@ -88,5 +89,8 @@ def write_image(path: str, img) -> None:
     elif lower.endswith(".hdr"):
         from .hdr import write_hdr
         write_hdr(path, img)
+    elif lower.endswith(".exr"):
+        from .exr import write_exr
+        write_exr(path, img)
     else:
         raise ValueError(f"unsupported image extension: {path}")

@@ -17,8 +17,21 @@ coherent again.
   a packet then shares a direction octant and a few adjacent origin cells,
   so its reachable set is a wedge the BVH walk can cull — origin-major
   packets span all 8 octants and reach the whole scene.  Measured on the
-  10k-prim 1080p config: 8.75s dir-major vs 11.07s origin-major vs 22.5s
-  unsorted (tools/sweep_config5.py).
+  10k-prim 1080p config (r2, block=32): 8.75s dir-major vs 11.07s
+  origin-major vs 22.5s unsorted (tools/sweep_config5.py).
+
+  r3 findings baked into the defaults (all measured on the same config):
+  * the walk is SYNC-bound per node, so TPU callers use fat leaf blocks
+    (block 32/64/128/256 = 9.41/7.89/7.08/6.69 s; block is a parameter,
+    interpret-mode tests keep 32 for short unrolls);
+  * fine direction bits in the key (``dbits``) HURT here (+18%) and
+    additionally mis-render ~4% of pixels on real hardware (see the
+    D_BITS comment) — default 0;
+  * sorting less often (``sort_every=2``) or at row granularity
+    (``rowsort=True``, 512-byte contiguous gathers at ~10x lower sort
+    cost) both LOSE overall (7.5s / 15.2s): per-ray coherence is
+    load-bearing, so the full argsort+gather (~0.22 s per 4M-ray sort,
+    ~3.1 s of the 6.7 s wall) stays the default.
 
 * **One bounce per pallas_call, state in HBM.**  Ray state is a single
   (17, R/128, 128) f32 tensor (o, d, throughput, radiance, prev-pdf, alive,
@@ -95,12 +108,18 @@ Q_BITS = 4   # morton bits per origin axis in the sort key (measured on the
              # 10k-prim 1080p config: dir-major 4/6 bits = 8.75/8.73s vs
              # origin-major 4/5/6 = 11.07/11.37/11.46 and no-sort 22.5s —
              # culling saturates at 4 bits; the knob stays for other scenes)
-D_BITS = 2   # fine direction bits per axis (dir-major only): octant alone
-             # bounds the SIGN of each direction component but not the
-             # magnitude, so a packet's inverse-direction intervals span
-             # [1/|d|max, inf) and the frustum walk's scalar interval test
-             # cannot cull; 2 extra magnitude bits per axis narrow a
-             # packet's cone to ~quarter-octant and make it bite.
+D_BITS = 0   # fine direction bits per axis (dir-major only).  The idea:
+             # octant alone bounds the SIGN of each direction component
+             # but not the magnitude, so extra magnitude bits narrow a
+             # packet's cone and let the frustum filter cull.  Measured
+             # reality (config 5): dbits=2 is SLOWER (12.5 vs 10.6 s —
+             # direction-tight packets scatter origins, and origin
+             # coherence is worth more) AND on real hardware the
+             # dbits-reordered stream renders ~4% of pixels wrong
+             # (tools/check_wavefront_tpu 0.957 vs 0.994 frac_close;
+             # interpret mode is bit-exact, so this is a hardware-only
+             # order-sensitivity — unresolved).  Default 0; the knob
+             # stays for experiments ONLY.
 
 
 def _live_bits(qbits: int, dbits: int) -> int:
@@ -316,24 +335,41 @@ def _add_env_radiance(st, env):
 
 
 def _sort_rays(st, ids, lo, ext, qbits=Q_BITS, dir_major=False,
-               dbits=D_BITS):
+               dbits=D_BITS, rowsort=False):
     """Coherence-sort the stream; returns (st, ids, n_alive_tiles).
 
     ``n_alive_tiles`` is the compacted alive-prefix length in (8, 128)
     tiles — the scalar the bounce kernel's index maps use to skip the dead
     suffix entirely.
+
+    ``rowsort`` permutes 128-ray ROWS instead of individual rays: the
+    row key is the min member key (alive lanes first), so compaction
+    stays conservative-correct (a row with any alive lane sorts into the
+    prefix).  Rays never leave their raygen row, so per-lane culling
+    keeps working while the gather moves contiguous 512-byte rows —
+    ray-granular permutation gathers 4-byte elements at ~1% of HBM
+    roofline and costs ~0.22 s per sort at 4M rays (the dominant glue
+    cost); row granularity trades some packet coherence for ~an order of
+    magnitude cheaper sorting.
     """
     n_rows, lanes = st.shape[1:]
     r = n_rows * lanes
     stf = st.reshape(N_CH, r)
-    idf = ids.reshape(2, r)
     key = _coherence_key(stf, lo, ext, qbits, dir_major, dbits)
+    dead = _dead_key(qbits, dbits if dir_major else 0)
+    if rowsort:
+        row_key = jnp.min(key.reshape(n_rows, lanes), axis=1)
+        perm = jnp.argsort(row_key)
+        st = jnp.take(st, perm, axis=1)
+        ids = jnp.take(ids, perm, axis=1)
+        n_alive_rows = jnp.sum((row_key < dead).astype(jnp.int32))
+        n_alive_tiles = (n_alive_rows + TILE_ROWS - 1) // TILE_ROWS
+        return st, ids, n_alive_tiles
+    idf = ids.reshape(2, r)
     perm = jnp.argsort(key)
     stf = jnp.take(stf, perm, axis=1)
     idf = jnp.take(idf, perm, axis=1)
-    n_alive = jnp.sum(
-        (key < _dead_key(qbits, dbits if dir_major else 0)).astype(
-            jnp.int32))
+    n_alive = jnp.sum((key < dead).astype(jnp.int32))
     n_alive_tiles = (n_alive + TILE - 1) // TILE
     return stf.reshape(st.shape), idf.reshape(ids.shape), n_alive_tiles
 
@@ -403,12 +439,14 @@ def _scatter_image(st, ids, width, height):
     static_argnames=("width", "height", "chunk_spp", "block", "n_mats",
                      "mtypes", "n_light_slots", "max_bounces", "rr_depth",
                      "use_nee", "use_mis", "sky_mode", "dof", "sort_every",
-                     "qbits", "dir_major", "dbits", "compact", "interpret"))
+                     "qbits", "dir_major", "dbits", "rowsort", "compact",
+                     "interpret"))
 def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
                       chunk_spp, block, n_mats, mtypes, n_light_slots,
                       max_bounces, rr_depth, use_nee, use_mis, sky_mode,
                       dof=False, sort_every=1, qbits=Q_BITS, dir_major=False,
-                      dbits=D_BITS, compact=True, interpret=False):
+                      dbits=D_BITS, rowsort=False, compact=True,
+                      interpret=False):
     n_nodes = nodef.shape[0] // 8   # 8 stacked octant tables
     n_blocks = prims.shape[0]
     st, ids, n_tiles = _raygen_launch(
@@ -426,7 +464,7 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
     for k in range(max_bounces):
         if sort_every and k and (k - 1) % sort_every == 0:
             st, ids, na = _sort_rays(st, ids, lo, ext, qbits, dir_major,
-                                     dbits)
+                                     dbits, rowsort)
             if compact:
                 nalive = na
         meta4 = jnp.concatenate([meta[:3], nalive.reshape(1)])
@@ -471,8 +509,9 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
                      rr_depth=3, use_nee=True, use_mis=True, seed=0,
                      dof=None, block: int = BLOCK, sort_every: int = 1,
                      qbits: int = Q_BITS, dir_major: bool = True,
-                     dbits: int = D_BITS, compact: bool = True,
-                     chunk_rays: int = 4 << 20, interpret=False):
+                     dbits: int = D_BITS, rowsort: bool = False,
+                     compact: bool = True, chunk_rays: int = 4 << 20,
+                     interpret=False):
     """Render ``spp`` samples sorted-wavefront style; (H,W,3) radiance sum.
 
     Semantics and RNG streams are identical to ``megakernel_bvh.
@@ -503,7 +542,8 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
             sky_mode=scene.sky_mode, dof=bool(dof),
             sort_every=int(sort_every), qbits=int(qbits),
             dir_major=bool(dir_major), dbits=int(dbits),
-            compact=bool(compact), interpret=interpret)
+            rowsort=bool(rowsort), compact=bool(compact),
+            interpret=interpret)
         img = part if img is None else img + part
         s += n
     return img

@@ -193,3 +193,19 @@ def test_checkpoint_file_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(tracer.get_render_result().image_f32),
         np.asarray(tracer2.get_render_result().image_f32))
+
+
+def test_exr_roundtrip(tmp_path):
+    """Float OpenEXR write/read is lossless (uncompressed FLOAT RGB)."""
+    from spt_tpu.io.exr import read_exr, write_exr
+    from spt_tpu.io.image import write_image
+
+    rng = np.random.default_rng(9)
+    img = (rng.gamma(1.5, 2.0, (13, 17, 3)) - 0.5).astype(np.float32)
+    p = str(tmp_path / "x.exr")
+    write_exr(p, img)
+    back = read_exr(p)
+    np.testing.assert_array_equal(back, img)   # bit-exact float
+    # dispatch through the extension router too
+    write_image(str(tmp_path / "y.exr"), img)
+    np.testing.assert_array_equal(read_exr(str(tmp_path / "y.exr")), img)

@@ -54,6 +54,11 @@ def test_sort_is_invisible(scene300):
     c = np.asarray(wavefront.render_wavefront(
         scene300, CAM, W, H, 0, 1, sort_every=2, interpret=True, **KW))
     np.testing.assert_array_equal(a, c)
+    # Row-granular permutation (512B-contiguous gathers) is a permutation
+    # too — compaction boundary stays conservative (min member key).
+    d = np.asarray(wavefront.render_wavefront(
+        scene300, CAM, W, H, 0, 1, rowsort=True, interpret=True, **KW))
+    np.testing.assert_array_equal(a, d)
 
 
 def test_chunking_is_invisible(scene300):

@@ -37,11 +37,23 @@ def main():
     interp = jax.default_backend() != "tpu"
 
     variants = [
-        ("default s1 q4 origin-major", dict(sort_every=1, qbits=4,
-                                            dir_major=False)),
-        ("no-sort", dict(sort_every=0)),
-        ("dir-major q4", dict(sort_every=1, qbits=4, dir_major=True)),
-        ("dir-major q6", dict(sort_every=1, qbits=6, dir_major=True)),
+        # r2 key sweep (block=32): origin-major 11.07s / no-sort 22.5s /
+        # dir-major 8.75s.  r3 found the walk SYNC-bound per node, so the
+        # leaf block width became the dominant knob (32/64/128/256 =
+        # 9.41/7.89/7.08/6.69 s at dir-major), and both cheaper-sorting
+        # variants lose: dbits=2 12.5s (direction-tight packets scatter
+        # origins), rowsort 15.2s (frozen 128-ray row membership kills
+        # coherence), sort_every=2 7.5s.
+        ("dir-major b32", dict(sort_every=1, dir_major=True, dbits=0)),
+        ("dir-major b256", dict(sort_every=1, dir_major=True, dbits=0,
+                                block=256)),
+        ("b256 se2", dict(sort_every=2, dir_major=True, dbits=0,
+                          block=256)),
+        ("b256 dbits2", dict(sort_every=1, dir_major=True, dbits=2,
+                             block=256)),
+        ("b256 rowsort", dict(sort_every=1, dir_major=True, dbits=0,
+                              block=256, rowsort=True)),
+        ("b256 no-sort", dict(sort_every=0, block=256)),
     ]
     for name, knobs in variants:
         t0 = time.time()
