@@ -115,13 +115,6 @@ def main() -> int:
     log(f"prim-sharded (ring): {t_prm_ring:.3f}s  "
         f"eff={t_base / t_prm_ring:.3f}")
 
-    # Legacy pmin + one-hot-psum variant, kept for comparison.
-    prm_oh = jax.jit(lambda sc: S.render_prim_sharded(sc, cam, W, H, ids,
-                                                      mesh_p, **kw))
-    t_prm_oh = timed(prm_oh, sd)
-    log(f"prim-sharded (one-hot psum): {t_prm_oh:.3f}s  "
-        f"eff={t_base / t_prm_oh:.3f}")
-
     # DP gradient step: sample-sharded value_and_grad + psum all-reduce.
     GW = GH = 64
     render = G.make_render_fn(sd, cam, GW, GH, max_bounces=4)
@@ -151,7 +144,6 @@ def main() -> int:
         "eff_sample_sharded": round(t_base / t_smp, 4),
         "eff_prim_sharded": round(t_base / t_prm, 4),
         "eff_prim_sharded_ring": round(t_base / t_prm_ring, 4),
-        "eff_prim_sharded_onehot": round(t_base / t_prm_oh, 4),
         "eff_dp_grad_step": round(t_gb / t_gs, 4),
         "note": "multi-chip hardware unavailable; efficiency = unsharded / "
                 "sharded wall at equal total work on one host. Values > 1 "

@@ -428,14 +428,17 @@ def map_raw_grads(scene, static, grad_s, grad_g):
         flat[:, 3, :].reshape(-1) * okf)
 
     # Fold light-slot cotangents: geometry into the owning prim, emission
-    # into its material.
+    # into its material.  (A lightless scene has no slot rows at all —
+    # grad_s ends at the material table.)
     n_l = static["n_light_slots"]
-    light_rows = grad_s[n_sky + 8 * n_mats:].reshape(max(n_l, 1), 7)
-    mat_id_np = np.asarray(scene.mat_id)
-    for l, p in enumerate(static["light_prims"]):
-        centers_g = centers_g.at[p].add(light_rows[l, 0:3])
-        radii_g = radii_g.at[p].add(light_rows[l, 3])
-        emission_g = emission_g.at[int(mat_id_np[p])].add(light_rows[l, 4:7])
+    if n_l:
+        light_rows = grad_s[n_sky + 8 * n_mats:].reshape(n_l, 7)
+        mat_id_np = np.asarray(scene.mat_id)
+        for l, p in enumerate(static["light_prims"]):
+            centers_g = centers_g.at[p].add(light_rows[l, 0:3])
+            radii_g = radii_g.at[p].add(light_rows[l, 3])
+            emission_g = emission_g.at[int(mat_id_np[p])].add(
+                light_rows[l, 4:7])
 
     grads = {
         "centers": centers_g,

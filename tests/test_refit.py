@@ -36,6 +36,26 @@ def _scene(n=40, seed=3):
     return scene_10k(n, seed=seed)
 
 
+DENSE_CAM = Camera.look_at((0, 0.5, -1.5), (0, 0.5, 5.0), fov_degrees=60)
+
+
+def _dense_scene(n, seed=5):
+    """Spheres packed INSIDE the camera frustum + a floor: primary hits are
+    guaranteed at any resolution (the sparse scene_10k cloud covers ~0% of
+    an 8x6 image, which made every geometry gradient legitimately zero)."""
+    rng = np.random.default_rng(seed)
+    sc = Scene()
+    sc.set_sky(spt_tpu.SKY_GRADIENT)
+    m = sc.add_material("lambert", albedo=(0.6, 0.5, 0.45))
+    m2 = sc.add_material("lambert", albedo=(0.3, 0.55, 0.7))
+    sc.create_sphere("floor", (0, -1000, 5), 999.5, m)
+    for i in range(n):
+        p = (float(rng.uniform(-3, 3)), float(rng.uniform(-0.2, 2.5)),
+             float(5 + rng.uniform(-1.5, 1.5)))
+        sc.create_sphere(f"s{i}", p, 0.5, m if i % 2 else m2)
+    return sc
+
+
 def _moved_centers(sd, k=1, factor=4.0):
     """Move sphere ``k`` by factor x its radius along +x (outside its
     build-time AABB)."""
@@ -78,21 +98,28 @@ def test_refit_bvh_traversal_matches_fresh_build():
     assert (np.asarray(id_r) == np.asarray(id_f)).mean() > 0.999
 
 
+# 200 prims: capacity 256 > SOA_MAX_PRIMS routes make_render_fn to the
+# gather+BVH SoA mode — the configuration where the refit actually gates
+# intersection (the <=128 static-unroll mode never reads the tree), and
+# far cheaper to trace than a 64-sphere unroll (the r3 test-time hog).
+# One bounce, no NEE, 8x6 pixels: the refit wiring is what's under test;
+# the tree math itself is pinned by test_refit_bvh_traversal above.
 def test_soa_render_fn_refits_under_moved_centers():
     """make_render_fn(params with moved centers) == fresh compile render."""
-    sd = _scene(60).compile(use_bvh=True)
+    sd = _dense_scene(130).compile(use_bvh=True)
     moved = _shifted_centers(sd)
-    render = G.make_render_fn(sd, CAM, 32, 24, max_bounces=3, seed=1)
-    ids = jnp.arange(2)
+    render = G.make_render_fn(sd, DENSE_CAM, 8, 6, max_bounces=2,
+                              use_nee=False, seed=1)
+    ids = jnp.arange(1)
     img = np.asarray(render({"centers": moved}, ids))
 
-    sc2 = _scene(60)
-    sd2 = sc2.compile(use_bvh=True)
+    sd2 = _dense_scene(130).compile(use_bvh=True)
     sd2 = dataclasses.replace(sd2, centers=moved,
                               bvh=build_bvh(np.asarray(moved),
                                             np.asarray(sd2.radii),
                                             valid=np.asarray(sd2.prim_valid)))
-    render2 = G.make_render_fn(sd2, CAM, 32, 24, max_bounces=3, seed=1)
+    render2 = G.make_render_fn(sd2, DENSE_CAM, 8, 6, max_bounces=2,
+                               use_nee=False, seed=1)
     img2 = np.asarray(render2({}, ids))
     np.testing.assert_allclose(img, img2, rtol=1e-4, atol=1e-5)
     # Sanity: the move is actually visible (stale-tree render would differ).
@@ -103,10 +130,11 @@ def test_soa_render_fn_refits_under_moved_centers():
 def test_soa_gradients_flow_to_moved_spheres():
     """d loss / d centers is finite and nonzero after the shift (the stale
     tree would zero out every sphere that left its box)."""
-    sd = _scene(60).compile(use_bvh=True)
+    sd = _dense_scene(130).compile(use_bvh=True)
     moved = _shifted_centers(sd)
-    render = G.make_render_fn(sd, CAM, 32, 24, max_bounces=2, seed=1)
-    ids = jnp.arange(2)
+    render = G.make_render_fn(sd, DENSE_CAM, 8, 6, max_bounces=2,
+                              use_nee=False, seed=1)
+    ids = jnp.arange(1)
 
     def loss(c):
         return jnp.sum(render({"centers": c}, ids))
@@ -124,20 +152,23 @@ def _pallas_render(sd, **kw):
     # and one combined test instead of a per-field matrix.
     from spt_tpu.diff import pallas_diff
     return pallas_diff._make_bvh_render_fn(
-        sd, CAM, 12, 8, spp=1, max_bounces=2, rr_depth=5, use_nee=True,
-        use_mis=True, seed=1, block=8, interpret=True, **kw)
+        sd, DENSE_CAM, 12, 8, spp=1, max_bounces=2, rr_depth=5,
+        use_nee=False, use_mis=False, seed=1, block=8, interpret=True,
+        **kw)
 
 
 def test_pallas_bvh_refit_image_and_grads():
     """Kernel-path refit: pallas render with moved centers + doubled radii
     == a fresh scene compile, and gradients reach the moved spheres."""
-    sd = _scene(14).compile(use_bvh=True)
+    sd = _dense_scene(12).compile(use_bvh=True)
     moved = _shifted_centers(sd)
-    r2x = jnp.asarray(np.asarray(sd.radii) * 2.0)
+    r = np.asarray(sd.radii).copy()
+    r[1:] *= 1.5          # scale the small spheres; prim 0 is the huge
+    r2x = jnp.asarray(r)  # floor (x1.5 would swallow the camera)
     render = _pallas_render(sd)
     img = np.asarray(render({"centers": moved, "radii": r2x}, 0))
 
-    sd2 = _scene(14).compile(use_bvh=True)
+    sd2 = _dense_scene(12).compile(use_bvh=True)
     sd2 = dataclasses.replace(sd2, centers=moved, radii=r2x)
     img2 = np.asarray(_pallas_render(sd2)({}, 0))
     np.testing.assert_allclose(img, img2, rtol=1e-4, atol=1e-5)
