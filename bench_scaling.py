@@ -103,14 +103,16 @@ def main() -> int:
     # Primitive-sharded, gather-per-bounce (ZeRO-style; one collective per
     # bounce, transient full-scene workspace) — the fast path when one
     # scene copy fits on-chip.
-    prm = jax.jit(lambda sc: S.render_prim_sharded_gather(
-        sc, cam, W, H, ids, mesh_p, **kw))
+    # No outer jit: the prim-sharded paths build their BVHs host-side from
+    # concrete arrays (the inner shard_map program is jitted internally).
+    prm = lambda sc: S.render_prim_sharded_gather(
+        sc, cam, W, H, ids, mesh_p, **kw)
     t_prm = timed(prm, sd)
     log(f"prim-sharded (gather): {t_prm:.3f}s  eff={t_base / t_prm:.3f}")
 
     # Streaming ring variant (ppermute; for scenes beyond one chip's HBM).
-    prm_ring = jax.jit(lambda sc: S.render_prim_sharded_ring(
-        sc, cam, W, H, ids, mesh_p, **kw))
+    prm_ring = lambda sc: S.render_prim_sharded_ring(
+        sc, cam, W, H, ids, mesh_p, **kw)
     t_prm_ring = timed(prm_ring, sd)
     log(f"prim-sharded (ring): {t_prm_ring:.3f}s  "
         f"eff={t_base / t_prm_ring:.3f}")

@@ -29,7 +29,6 @@ import ctypes
 import dataclasses
 import os
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

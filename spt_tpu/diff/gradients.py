@@ -23,8 +23,6 @@ everything else is closed over.  Works under jit, shard_map, and with optax.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,9 +21,6 @@ Gradients for albedo / emission / roughness / centers / radii (+ sky).
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

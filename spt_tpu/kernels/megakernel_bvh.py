@@ -60,12 +60,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core import rng
 from ..core.bvh import build_bvh
 from ..core.materials import DIELECTRIC, LAMBERT, METAL
 from ..core.scene import SceneData
 from . import physics
-from .megakernel import _NDIMS, _SKY_OFF
+from .megakernel import _SKY_OFF
 from .megakernel_grad import _raygen, _uniforms
 
 TILE_ROWS = 8

@@ -29,8 +29,8 @@ Three first-class parallelism strategies (SURVEY.md §2.4's mandate), all as
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -238,6 +238,17 @@ def render_prim_sharded_gather(scene: SceneData, camera, width: int,
     lr_all = scene.radii[scene.light_idx]
     lmat_all = scene.mat_id[scene.light_idx]
 
+    leaves, treedef = _prim_in_specs(scene_p)
+    fn = _gather_program(mesh, width, height, n_nodes, n_idx, max_leaf,
+                         leaves, treedef, tuple(sorted(kw.items())))
+    return fn(scene_p, camera, jnp.asarray(sample_ids), lc_all, lr_all,
+              lmat_all, nodef_p, nodei_p, pidx_p)
+
+
+def _prim_in_specs(scene_p: SceneData):
+    """(hashable leaves, treedef) of the prim-sharded in_specs pytree:
+    the scene with prim arrays on P('prim'), then camera / sample-ids /
+    3 light tables replicated, then the 3 P('prim') BVH arrays."""
     scene_specs = dataclasses.replace(
         scene_p,
         centers=P("prim"), radii=P("prim"), mat_id=P("prim"),
@@ -247,13 +258,28 @@ def render_prim_sharded_gather(scene: SceneData, camera, width: int,
     in_specs = (
         jax.tree.map(lambda x: x if isinstance(x, P) else P(), scene_specs,
                      is_leaf=lambda x: isinstance(x, P)),
-        P(), P(), P(), P(),
+        P(), P(), P(), P(), P(),
         P("prim"), P("prim"), P("prim"),
     )
+    leaves, treedef = jax.tree.flatten(
+        in_specs, is_leaf=lambda x: isinstance(x, P))
+    return tuple(leaves), treedef
+
+
+@functools.lru_cache(maxsize=32)
+def _gather_program(mesh: Mesh, width: int, height: int, n_nodes: int,
+                    n_idx: int, max_leaf: int, spec_leaves, spec_treedef,
+                    kw_items):
+    """Memoized jitted shard_map program for the gather strategy: repeated
+    renders (progressive loops, benches) reuse the compiled executable
+    instead of re-tracing the whole program every call."""
+    kw = dict(kw_items)
+    in_specs = jax.tree.unflatten(spec_treedef, list(spec_leaves))
+    n_data = mesh.shape["data"]
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=P("data"),
              check_vma=False)
-    def run(scene_shard, camera_rep, lc_rep, lr_rep, lmat_rep,
+    def run(scene_shard, camera_rep, ids_rep, lc_rep, lr_rep, lmat_rep,
             nodef_sh, nodei_sh, pidx_sh):
         data_idx = jax.lax.axis_index("data")
         chunk = jnp.concatenate([
@@ -296,13 +322,12 @@ def render_prim_sharded_gather(scene: SceneData, camera, width: int,
 
         h_loc = height // n_data
         return integrator_jax.render_megasample(
-            scene_shard, camera_rep, width, h_loc, sample_ids,
+            scene_shard, camera_rep, width, h_loc, ids_rep,
             row_offset=data_idx * h_loc, full_height=height,
             intersect_attrs_fn=gather_intersect,
             occluded_fn=gather_occluded, light_attrs_fn=light_attrs, **kw)
 
-    return jax.jit(run)(scene_p, camera, lc_all, lr_all, lmat_all,
-                        nodef_p, nodei_p, pidx_p)
+    return jax.jit(run)
 
 
 def render_prim_sharded_ring(scene: SceneData, camera, width: int,
@@ -337,7 +362,6 @@ def render_prim_sharded_ring(scene: SceneData, camera, width: int,
         raise ValueError("height must divide the data axis")
     scene_p = shard_scene_prims(scene, n_prim)
     shard_cap = scene_p.capacity // n_prim
-    perm = [(i, (i + 1) % n_prim) for i in range(n_prim)]
     mini_nodef, mini_nodei, mini_pidx, mini_nodes, max_leaf = \
         _mini_bvhs(scene_p, n_prim, shard_cap)
 
@@ -346,22 +370,28 @@ def render_prim_sharded_ring(scene: SceneData, camera, width: int,
     lr_all = scene.radii[scene.light_idx]
     lmat_all = scene.mat_id[scene.light_idx]
 
-    scene_specs = dataclasses.replace(
-        scene_p,
-        centers=P("prim"), radii=P("prim"), mat_id=P("prim"),
-        prim_valid=P("prim"),
-        materials=jax.tree.map(lambda _: P(), scene_p.materials),
-        light_idx=P(), light_valid=P(), sky_params=P(), bvh=None)
-    in_specs = (
-        jax.tree.map(lambda x: x if isinstance(x, P) else P(), scene_specs,
-                     is_leaf=lambda x: isinstance(x, P)),
-        P(), P(), P(), P(),
-        P("prim"), P("prim"), P("prim"),
-    )
+    leaves, treedef = _prim_in_specs(scene_p)
+    fn = _ring_program(mesh, width, height, shard_cap, mini_nodes,
+                       max_leaf, leaves, treedef, tuple(sorted(kw.items())))
+    return fn(scene_p, camera, jnp.asarray(sample_ids), lc_all, lr_all,
+              lmat_all, mini_nodef, mini_nodei, mini_pidx)
+
+
+@functools.lru_cache(maxsize=32)
+def _ring_program(mesh: Mesh, width: int, height: int, shard_cap: int,
+                  mini_nodes: int, max_leaf: int, spec_leaves, spec_treedef,
+                  kw_items):
+    """Memoized jitted shard_map program for the ring strategy (see
+    _gather_program)."""
+    kw = dict(kw_items)
+    in_specs = jax.tree.unflatten(spec_treedef, list(spec_leaves))
+    n_prim = mesh.shape["prim"]
+    n_data = mesh.shape["data"]
+    perm = [(i, (i + 1) % n_prim) for i in range(n_prim)]
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=P("data"),
              check_vma=False)
-    def run(scene_shard, camera_rep, lc_rep, lr_rep, lmat_rep,
+    def run(scene_shard, camera_rep, ids_rep, lc_rep, lr_rep, lmat_rep,
             nodef_sh, nodei_sh, pidx_sh):
         my_prim = jax.lax.axis_index("prim")
         data_idx = jax.lax.axis_index("data")
@@ -441,13 +471,12 @@ def render_prim_sharded_ring(scene: SceneData, camera, width: int,
 
         h_loc = height // n_data
         return integrator_jax.render_megasample(
-            scene_shard, camera_rep, width, h_loc, sample_ids,
+            scene_shard, camera_rep, width, h_loc, ids_rep,
             row_offset=data_idx * h_loc, full_height=height,
             intersect_attrs_fn=ring_intersect, occluded_fn=ring_occluded,
             light_attrs_fn=light_attrs, **kw)
 
-    return jax.jit(run)(scene_p, camera, lc_all, lr_all, lmat_all,
-                        mini_nodef, mini_nodei, mini_pidx)
+    return jax.jit(run)
 
 
 # ---------------------------------------------------------------------------
