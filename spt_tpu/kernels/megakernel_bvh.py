@@ -636,6 +636,78 @@ def _leaf_sweep_anyhit(prim_ref, blk_scr, n_found, ox, oy, oz, dx, dy, dz,
     return blocked > 0.5
 
 
+def _cand_sweep_nearest(prim_ref, cand_ref, ctn_ref, ox, oy, oz, dx, dy, dz,
+                        active, block, max_cand, with_ids=False, tcull=True):
+    """Nearest-hit sweep over a precomputed per-tile candidate-block list.
+
+    The XLA precull (wavefront._precull) already ran the per-lane AABB slab
+    tests for this tile against every leaf block — on the VPU at full
+    throughput, with no per-node vector->scalar ``any()`` syncs — and wrote
+    the surviving block ids, nearest-first, to SMEM.  The kernel's job
+    reduces to a sync-free sweep: loop the candidate list (scalar control,
+    zero vector work per skipped block) and run the same leaf sweep as
+    ``_walk_nearest``.  This removes the serial in-kernel tree walk whose
+    per-node sync made the 10k-prim wavefront SYNC-bound (ARCHITECTURE.md
+    r3 finding; the reference hides the equivalent cost inside Embree's
+    rtcIntersect1 — CPUPathTracer.cpp:227).
+
+    ``cand_ref`` layout: [0] = candidate count, [1..max_cand] = block ids.
+    ``ctn_ref[i]`` = conservative lower bound on any hit distance in
+    candidate i (min over the tile's hitting lanes of the AABB entry t),
+    nondecreasing in i.  With ``tcull`` the loop exits once the NEXT
+    candidate's bound exceeds the packet's worst current winner (one
+    vector->scalar max per swept block — a handful per tile, vs one per
+    visited NODE for the walk): any later hit would satisfy
+    t >= ctn[i] >= t_pack >= t_best(lane) and lose the strict < compare.
+    """
+    zero = jnp.zeros_like(ox)
+    neg = jnp.full_like(ox, -1.0)
+    ncand = cand_ref[0, 0, 0]
+
+    def cond(c):
+        return (c[0] < ncand) & (c[1] < c[2])
+
+    def body(c):
+        i, _next_tn, t_pack = c[0], c[1], c[2]
+        t, hcx, hcy, hcz, hr, hmid = c[3:9]
+        ids = list(c[9:])
+        blk = cand_ref[0, 0, i + 1]
+        for j in range(block):
+            cx = prim_ref[blk, 0, j]
+            cy = prim_ref[blk, 1, j]
+            cz = prim_ref[blk, 2, j]
+            r = prim_ref[blk, 3, j]
+            mid = prim_ref[blk, 4, j]
+            ocx, ocy, ocz = cx - ox, cy - oy, cz - oz
+            b = dx * ocx + dy * ocy + dz * ocz
+            cterm = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = b * b - cterm
+            pos = disc > 0.0
+            sq = jnp.sqrt(jnp.maximum(jnp.where(pos, disc, 1.0), 1e-12))
+            tj = jnp.where(b - sq > TMIN, b - sq, b + sq)
+            ok = pos & (tj > TMIN) & (tj < t) & active
+            t = jnp.where(ok, tj, t)
+            hcx = jnp.where(ok, cx, hcx)
+            hcy = jnp.where(ok, cy, hcy)
+            hcz = jnp.where(ok, cz, hcz)
+            hr = jnp.where(ok, r, hr)
+            hmid = jnp.where(ok, mid, hmid)
+            if ids:
+                ids[0] = jnp.where(ok, blk.astype(jnp.float32), ids[0])
+                ids[1] = jnp.where(ok, jnp.float32(j), ids[1])
+        if tcull:
+            t_pack = jnp.minimum(
+                t_pack, jnp.max(jnp.where(active, t, jnp.float32(0.0))))
+        nxt = ctn_ref[0, 0, jnp.minimum(i + 1, max_cand - 1)]
+        return (i + 1, nxt, t_pack, t, hcx, hcy, hcz, hr, hmid, *ids)
+
+    init = (jnp.int32(0), ctn_ref[0, 0, 0], jnp.float32(BIG),
+            jnp.full_like(ox, BIG), zero, zero, zero, zero, neg) \
+        + ((neg, neg) if with_ids else ())
+    out = jax.lax.while_loop(cond, body, init)
+    return out[3:]
+
+
 def _packet_obase(dx, dy, dz, active, n_nodes):
     """Scalar row offset of the octant-ordered node table for this packet.
 
@@ -652,23 +724,35 @@ def _packet_obase(dx, dy, dz, active, n_nodes):
 
 def _make_intersectors(blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr,
                        n_nodes, block, n_mats, mtypes, capture=None,
-                       frustum=True):
+                       frustum=True, cand=None, tcull=True):
     """Build (intersect_fn, occluded_fn) closures for physics.trace_bounce.
 
     ``capture`` (dict or None): when given, the walk runs ``with_ids`` and
     stores the winner residuals (hcx hcy hcz hr hmid hblk hslot) plus the
     NEE ``blocked`` mask into it — the record the wavefront backward pass
     replays from (same pattern as megakernel_bvh_grad's occ_and_save).
+
+    ``cand`` ((cand_ref, ctn_ref, max_cand) or None): when given, nearest-
+    hit intersection sweeps the XLA-preculled candidate-block list instead
+    of walking the tree (``_cand_sweep_nearest``); shadow rays still walk
+    (their origins only exist in-kernel, so no precull can cover them).
     """
 
     def intersect(ox, oy, oz, dx, dy, dz, active):
-        ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
-        out = _walk_nearest(
-            nodef_ref, nodei_ref, prim_ref, ox, oy, oz, dx, dy, dz,
-            ivx, ivy, ivz, active, n_nodes, block,
-            with_ids=capture is not None,
-            obase=_packet_obase(dx, dy, dz, active, n_nodes),
-            frustum=frustum)
+        if cand is not None:
+            cand_ref, ctn_ref, max_cand = cand
+            out = _cand_sweep_nearest(
+                prim_ref, cand_ref, ctn_ref, ox, oy, oz, dx, dy, dz,
+                active, block, max_cand, with_ids=capture is not None,
+                tcull=tcull)
+        else:
+            ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+            out = _walk_nearest(
+                nodef_ref, nodei_ref, prim_ref, ox, oy, oz, dx, dy, dz,
+                ivx, ivy, ivz, active, n_nodes, block,
+                with_ids=capture is not None,
+                obase=_packet_obase(dx, dy, dz, active, n_nodes),
+                frustum=frustum)
         if capture is not None:
             t, hcx, hcy, hcz, hr, hmid, hblk, hslot = out
             capture.update(hcx=hcx, hcy=hcy, hcz=hcz, hr=hr, hmid=hmid,

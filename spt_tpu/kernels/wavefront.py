@@ -91,8 +91,9 @@ from ..core import rng
 from ..core.scene import SceneData
 from . import physics
 from .megakernel import _SKY_OFF
-from .megakernel_bvh import (BLOCK, _MAT_OFF, _MAT_STRIDE, TILE, TILE_LANES,
-                             TILE_ROWS, TW, TH, _make_intersectors, _packed)
+from .megakernel_bvh import (BIG, BLOCK, TMIN, _MAT_OFF, _MAT_STRIDE, TILE,
+                             TILE_LANES, TILE_ROWS, TW, TH,
+                             _make_intersectors, _packed)
 from .megakernel_grad import _raygen, _uniforms
 
 # State-tensor channel layout (all f32).
@@ -194,9 +195,9 @@ def _raygen_kernel(meta_ref, blob_ref, st_ref, ids_ref, *, width, height,
 
 
 def _bounce_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
-                   st_ref, ids_ref, out_ref, blk_scr, *, k, n_nodes, block,
-                   n_mats, mtypes, n_light_slots, rr_depth, use_nee, use_mis,
-                   sky_mode):
+                   cand_ref, ctn_ref, st_ref, ids_ref, out_ref, blk_scr, *,
+                   k, n_nodes, block, n_mats, mtypes, n_light_slots,
+                   rr_depth, use_nee, use_mis, sky_mode, precull, tcull):
     seed = meta_ref[1].astype(jnp.uint32)
     nl = meta_ref[2]
     # Grid steps past the alive-prefix boundary read AND write the pad tile
@@ -239,9 +240,12 @@ def _bounce_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
             tuple(blob_ref[light_off + 7 * l + a] for a in range(7))
             for l in range(n_light_slots))
         theta = ((), sky, lights)
+        n_blocks = prim_ref.shape[0]
         intersect_fn, occluded_fn = _make_intersectors(
             blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr, n_nodes,
-            block, n_mats, mtypes, frustum=k == 0)
+            block, n_mats, mtypes, frustum=k == 0,
+            cand=((cand_ref, ctn_ref, n_blocks) if precull else None),
+            tcull=tcull)
 
         u = _uniforms(pid, sample, seed, k)
         want_miss = sky_mode == physics.SKY_ENVMAP
@@ -260,6 +264,106 @@ def _bounce_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
         out_ref[C_INIMG] = st_ref[C_INIMG]
         out_ref[C_MISS] = (aux[2].astype(jnp.float32) if want_miss
                            else jnp.zeros_like(st_ref[C_MISS]))
+
+
+# ---------------------------------------------------------------------------
+# XLA precull: per-tile candidate-block lists (replaces the in-kernel walk)
+# ---------------------------------------------------------------------------
+
+PRECULL_TILE_CHUNK = 64   # tiles per lax.map step; bounds the fused
+                          # (chunk, 1024, n_blocks) intermediate to ~tens
+                          # of MB even if XLA materializes it
+
+
+def _leaf_block_bounds(prims):
+    """Per-leaf-block AABBs from the packed prim table: (n_blocks, 3) x2.
+
+    Padding slots carry the mid == -1 sentinel (and r == 0); they are
+    masked so an underfull block's box is tight.  Works on traced tables
+    (pack_prims_jnp) so the grad path's refit scenes precull correctly.
+    """
+    valid = prims[:, 4, :] >= 0.0                       # (n_blocks, block)
+    big = jnp.float32(3e38)
+    c = prims[:, 0:3, :]                                # (n_blocks, 3, blk)
+    r = prims[:, 3:4, :]
+    lo = jnp.min(jnp.where(valid[:, None, :], c - r, big), axis=2)
+    hi = jnp.max(jnp.where(valid[:, None, :], c + r, -big), axis=2)
+    return lo, hi
+
+
+def _precull(st, lob, hib, n_tiles):
+    """Exact per-lane AABB precull -> nearest-first candidate lists.
+
+    For every (8, 128) ray tile, slab-test each of its 1024 rays against
+    every leaf-block AABB in plain XLA (pure VPU throughput, ~30 flops per
+    (ray, block) pair, no scalar-unit syncs anywhere) and aggregate per
+    tile: a block is a candidate iff ANY live lane's slab interval is
+    non-empty — exactly the per-lane test the in-kernel walk would have
+    done at the leaf, so culling is never worse than the walk's, and
+    usually better (the walk's packet-level any() keeps a leaf whenever
+    one lane hits; so does this — but the walk also descends internal
+    nodes serially to find out, paying a vector->scalar sync per node).
+
+    Returns
+      cand (n_tiles + 1, max_cand + 1) i32 — [t, 0] = count, [t, 1:] =
+          block ids sorted by ``ctn`` (nearest first); row n_tiles (the
+          compaction pad tile) is empty.
+      ctn  (n_tiles + 1, max_cand) f32 — lower bound on any hit t in the
+          matching candidate (min over hitting lanes of AABB entry t,
+          clamped >= 0), BIG past the count.  Nondecreasing per row — the
+          kernel's early-exit contract (_cand_sweep_nearest).
+    """
+    nb = lob.shape[0]
+    n_rows = (n_tiles + 1) * TILE_ROWS
+    chunk = PRECULL_TILE_CHUNK
+    n_chunks = -(-(n_tiles + 1) // chunk)
+    pad_tiles = n_chunks * chunk - (n_tiles + 1)
+
+    def grab(c):
+        v = st[c].reshape(n_rows // TILE_ROWS, TILE)
+        if pad_tiles:
+            v = jnp.pad(v, ((0, pad_tiles), (0, 0)))
+        return v.reshape(n_chunks, chunk, TILE)
+
+    ox, oy, oz = grab(C_OX), grab(C_OY), grab(C_OZ)
+    dx, dy, dz = grab(C_DX), grab(C_DY), grab(C_DZ)
+    alive = grab(C_ALIVE)
+    big = jnp.float32(BIG)
+
+    def one_chunk(args):
+        o3, d3, act = args
+        tn = jnp.full((chunk, TILE, nb), -big)
+        tf = jnp.full((chunk, TILE, nb), big)
+        for a in range(3):
+            o = o3[a][:, :, None]
+            iv = jnp.where(jnp.abs(d3[a]) > 1e-20,
+                           1.0 / jnp.where(jnp.abs(d3[a]) > 1e-20,
+                                           d3[a], 1.0),
+                           jnp.float32(3e38))[:, :, None]
+            t0 = (lob[None, None, :, a] - o) * iv
+            t1 = (hib[None, None, :, a] - o) * iv
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        hit = (tn <= tf) & (tf > TMIN) & (act[:, :, None] > 0.5)
+        tnc = jnp.where(hit, jnp.maximum(tn, 0.0), big)
+        tile_tn = jnp.min(tnc, axis=1)                  # (chunk, nb)
+        order = jnp.argsort(tile_tn, axis=-1)
+        s_tn = jnp.take_along_axis(tile_tn, order, axis=-1)
+        n_cand = jnp.sum((tile_tn < big).astype(jnp.int32), axis=-1)
+        ids = jnp.where(s_tn < big, order.astype(jnp.int32), -1)
+        return jnp.concatenate([n_cand[:, None], ids], axis=1), s_tn
+
+    cand, ctn = jax.lax.map(one_chunk, ((ox, oy, oz), (dx, dy, dz), alive))
+    cand = cand.reshape(n_chunks * chunk, nb + 1)[:n_tiles + 1]
+    ctn = ctn.reshape(n_chunks * chunk, nb)[:n_tiles + 1]
+    # Pad tile: empty list (its grid steps are skipped anyway).
+    cand = cand.at[n_tiles].set(
+        jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                         jnp.full((nb,), -1, jnp.int32)]))
+    # 3-D (rows, 1, cols): the Mosaic lowering requires each of the last
+    # two BLOCK dims to divide (8, 128) or equal the full dim — a
+    # middle singleton + full trailing dim satisfies it for any nb.
+    return cand[:, None, :], ctn[:, None, :]
 
 
 # ---------------------------------------------------------------------------
@@ -335,22 +439,33 @@ def _add_env_radiance(st, env):
 
 
 def _sort_rays(st, ids, lo, ext, qbits=Q_BITS, dir_major=False,
-               dbits=D_BITS, rowsort=False):
+               dbits=D_BITS, rowsort=False, variadic=True):
     """Coherence-sort the stream; returns (st, ids, n_alive_tiles).
 
     ``n_alive_tiles`` is the compacted alive-prefix length in (8, 128)
     tiles — the scalar the bounce kernel's index maps use to skip the dead
     suffix entirely.
 
+    ``variadic`` moves the channels INSIDE one ``lax.sort`` call (key +
+    19 data operands) instead of argsort + per-channel gather.  Measured
+    on-chip at the config-5 stream size (tools/profile_sort.py, 4M rays):
+    the argsort itself is cheap (15 ms); the per-channel permutation
+    gather is the cost (157 ms — 4-byte random loads at ~2 GB/s
+    effective), and a transposed row-gather loses too (171 ms — the
+    (r, 21) layout pads its minor dim to 128 lanes, a 6x bloat).  The
+    variadic sort's compare-exchange network moves every operand along
+    sequential passes instead: 80 ms, 2.1x faster end-to-end.  Equal keys
+    land in arbitrary order, which the estimator cannot see (RNG rides
+    with the ray).  The grad path keeps argsort+take — ``jnp.take`` has
+    the transpose rule the backward needs; ``lax.sort`` does not.
+
     ``rowsort`` permutes 128-ray ROWS instead of individual rays: the
     row key is the min member key (alive lanes first), so compaction
     stays conservative-correct (a row with any alive lane sorts into the
     prefix).  Rays never leave their raygen row, so per-lane culling
-    keeps working while the gather moves contiguous 512-byte rows —
-    ray-granular permutation gathers 4-byte elements at ~1% of HBM
-    roofline and costs ~0.22 s per sort at 4M rays (the dominant glue
-    cost); row granularity trades some packet coherence for ~an order of
-    magnitude cheaper sorting.
+    keeps working while the gather moves contiguous 512-byte rows;
+    measured r3: the lost packet coherence costs more than the cheaper
+    sort saves, so it stays off.
     """
     n_rows, lanes = st.shape[1:]
     r = n_rows * lanes
@@ -366,11 +481,18 @@ def _sort_rays(st, ids, lo, ext, qbits=Q_BITS, dir_major=False,
         n_alive_tiles = (n_alive_rows + TILE_ROWS - 1) // TILE_ROWS
         return st, ids, n_alive_tiles
     idf = ids.reshape(2, r)
-    perm = jnp.argsort(key)
-    stf = jnp.take(stf, perm, axis=1)
-    idf = jnp.take(idf, perm, axis=1)
     n_alive = jnp.sum((key < dead).astype(jnp.int32))
     n_alive_tiles = (n_alive + TILE - 1) // TILE
+    if variadic:
+        out = jax.lax.sort(
+            [key] + [stf[c] for c in range(N_CH)] + [idf[0], idf[1]],
+            num_keys=1, is_stable=False)
+        stf = jnp.stack(out[1:1 + N_CH])
+        idf = jnp.stack(out[1 + N_CH:])
+    else:
+        perm = jnp.argsort(key)
+        stf = jnp.take(stf, perm, axis=1)
+        idf = jnp.take(idf, perm, axis=1)
     return stf.reshape(st.shape), idf.reshape(ids.shape), n_alive_tiles
 
 
@@ -440,13 +562,13 @@ def _scatter_image(st, ids, width, height):
                      "mtypes", "n_light_slots", "max_bounces", "rr_depth",
                      "use_nee", "use_mis", "sky_mode", "dof", "sort_every",
                      "qbits", "dir_major", "dbits", "rowsort", "compact",
-                     "interpret"))
+                     "precull", "tcull", "interpret"))
 def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
                       chunk_spp, block, n_mats, mtypes, n_light_slots,
                       max_bounces, rr_depth, use_nee, use_mis, sky_mode,
                       dof=False, sort_every=1, qbits=Q_BITS, dir_major=False,
                       dbits=D_BITS, rowsort=False, compact=True,
-                      interpret=False):
+                      precull=True, tcull=True, interpret=False):
     n_nodes = nodef.shape[0] // 8   # 8 stacked octant tables
     n_blocks = prims.shape[0]
     st, ids, n_tiles = _raygen_launch(
@@ -454,11 +576,16 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
         dof=dof, interpret=interpret)
     n_rows = (n_tiles + 1) * TILE_ROWS
     lo, ext = _scene_sort_bounds(nodef)
+    if precull:
+        lob, hib = _leaf_block_bounds(prims)
 
     def _redirect(i, m, *r):
         # Alive-prefix compaction: steps past the boundary all target the
         # pad tile; consecutive equal indices make Mosaic elide the DMAs.
         return (0, jnp.where(i < m[3], i, n_tiles), 0)
+
+    def _redirect2(i, m, *r):
+        return (jnp.where(i < m[3], i, n_tiles), 0, 0)
 
     nalive = jnp.int32(n_tiles)
     for k in range(max_bounces):
@@ -468,12 +595,31 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
             if compact:
                 nalive = na
         meta4 = jnp.concatenate([meta[:3], nalive.reshape(1)])
+        if precull:
+            cand, ctn = _precull(st, lob, hib, n_tiles)
+            cand_specs = [
+                pl.BlockSpec((1, 1, n_blocks + 1), _redirect2,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, n_blocks), _redirect2,
+                             memory_space=pltpu.SMEM),
+            ]
+            cand_args = (cand, ctn)
+        else:
+            # 1-element placeholders keep the kernel arity fixed.
+            cand_specs = [
+                pl.BlockSpec((1, 1, 1), lambda i, m, *r: (0, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda i, m, *r: (0, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ]
+            cand_args = (jnp.zeros((1, 1, 1), jnp.int32),
+                         jnp.zeros((1, 1, 1), jnp.float32))
         st = pl.pallas_call(
             functools.partial(
                 _bounce_kernel, k=k, n_nodes=n_nodes, block=block,
                 n_mats=n_mats, mtypes=mtypes, n_light_slots=n_light_slots,
                 rr_depth=rr_depth, use_nee=use_nee, use_mis=use_mis,
-                sky_mode=sky_mode),
+                sky_mode=sky_mode, precull=precull, tcull=tcull),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(n_tiles,),
@@ -481,6 +627,7 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # nodef
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # nodei
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # prims
+                    *cand_specs,
                     pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((2, TILE_ROWS, TILE_LANES), _redirect,
@@ -495,9 +642,9 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
                                            jnp.float32),
             # st rides through aliased: the dead suffix past the boundary
             # is preserved in place without ever being copied.
-            input_output_aliases={5: 0},
+            input_output_aliases={7: 0},
             interpret=interpret,
-        )(meta4, blob, nodef, nodei, prims, st, ids)
+        )(meta4, blob, nodef, nodei, prims, *cand_args, st, ids)
         if sky_mode == physics.SKY_ENVMAP:
             st = _add_env_radiance(st, env)
 
@@ -510,7 +657,8 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
                      dof=None, block: int = BLOCK, sort_every: int = 1,
                      qbits: int = Q_BITS, dir_major: bool = True,
                      dbits: int = D_BITS, rowsort: bool = False,
-                     compact: bool = True, chunk_rays: int = 4 << 20,
+                     compact: bool = True, precull: bool = True,
+                     tcull: bool = True, chunk_rays: int = 4 << 20,
                      interpret=False):
     """Render ``spp`` samples sorted-wavefront style; (H,W,3) radiance sum.
 
@@ -543,6 +691,7 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
             sort_every=int(sort_every), qbits=int(qbits),
             dir_major=bool(dir_major), dbits=int(dbits),
             rowsort=bool(rowsort), compact=bool(compact),
+            precull=bool(precull), tcull=bool(tcull),
             interpret=interpret)
         img = part if img is None else img + part
         s += n

@@ -7,14 +7,15 @@ each *bounce kernel* a ``jax.custom_vjp`` whose backward is itself a Pallas
 kernel, and leaving every other stage (coherence sort, env-map lookup,
 image scatter) in XLA where autodiff already works:
 
-* **Forward bounce** (``_bounce_fwd_kernel``): the standard frustum-walk
-  bounce, additionally writing per-lane winner residuals to HBM —
-  (hit center, radius, material id, leaf block, slot) + the NEE blocked
-  mask (8 channels).  Exactly the record the fused megakernel keeps in VMEM
-  (megakernel_bvh_grad), but per bounce in HBM because the sort between
-  bounces forces a kernel split.
+* **Forward bounce** (``_bounce_fwd_kernel``): the standard wavefront
+  bounce — candidate-sweep intersection over the XLA precull's per-tile
+  block lists (wavefront._precull), no in-kernel tree walk — additionally
+  writing per-lane winner residuals to HBM: (hit center, radius, material
+  id, leaf block, slot) + the NEE blocked mask (8 channels).  Exactly the
+  record the fused megakernel keeps in VMEM (megakernel_bvh_grad), but per
+  bounce in HBM because the sort between bounces forces a kernel split.
 
-* **Backward bounce** (``_bounce_bwd_kernel``): no tree walk at all — it
+* **Backward bounce** (``_bounce_bwd_kernel``): no traversal at all — it
   replays ``physics.trace_bounce`` under ``jax.vjp`` with the saved winner
   geometry as differentiable inputs (the detached-selection estimator of
   core/bvh.intersect_bvh_soa) and emits (d state_in, per-lane geometry
@@ -30,10 +31,18 @@ image scatter) in XLA where autodiff already works:
   pack_blob_jnp / pack_prims_jnp map blob/prim-table cotangents back to
   scene parameters for free (no hand-written map_raw_grads).
 
-Compaction is disabled under grad (every tile runs): the forward's
-DMA-eliding suffix redirect relies on input/output aliasing that would
-destroy the residual the backward needs.  Sorting stays on — coherence
-still pays in the forward walk.
+* **Compaction runs under grad too** (VERDICT r3 next #4; r3 had it
+  disabled).  The forward bounce aliases its state in/out like the
+  non-grad engine, so grid steps past the sorted alive-prefix boundary
+  redirect to the pad tile and the dead suffix is preserved in place.
+  The saved pre-bounce state residual stays intact because XLA copies an
+  aliased operand that is still live — one sequential full-bandwidth copy
+  per bounce, instead of running every dead tile through the kernel.  The
+  winner-residual output is NOT aliased, so its suffix rows hold stale
+  garbage on hardware; every consumer masks by the saved boundary:
+  the backward kernel redirects those steps (cotangents pass through the
+  ct->din alias untouched), and the per-primitive scatter drops rows past
+  ``nalive * TILE``.
 
 Reference analog: none (the reference has no differentiability; this is
 the BASELINE config-5 "gradient all-reduce at 10k prims" prerequisite).
@@ -62,8 +71,8 @@ from .megakernel_bvh_grad import (_read_lights, _read_mats,
 from .megakernel_grad import _uniforms
 from .wavefront import (C_ALIVE, C_INIMG, C_MISS, C_PDF, C_SPEC, D_BITS,
                         N_CH, Q_BITS, TILE, _add_env_radiance,
-                        _raygen_launch, _scatter_image, _scene_sort_bounds,
-                        _sort_rays)
+                        _leaf_block_bounds, _precull, _raygen_launch,
+                        _scatter_image, _scene_sort_bounds, _sort_rays)
 
 N_RES = 8       # hcx hcy hcz hr hmid hblk hslot blocked
 N_STATE = 13    # differentiable state channels (o, d, th, rad, pdf)
@@ -74,32 +83,44 @@ N_STATE = 13    # differentiable state channels (o, d, th, rad, pdf)
 # ---------------------------------------------------------------------------
 
 def _bounce_fwd_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
-                       st_ref, ids_ref, out_ref, res_ref, blk_scr, *, k,
-                       n_nodes, block, n_mats, mtypes, n_light_slots,
-                       rr_depth, use_nee, use_mis, sky_mode):
-    """Wavefront bounce + winner-residual record (no compaction redirect).
+                       cand_ref, ctn_ref, st_ref, ids_ref, out_ref, res_ref,
+                       blk_scr, *, k, n_nodes, block, n_mats, mtypes,
+                       n_light_slots, rr_depth, use_nee, use_mis, sky_mode,
+                       precull, tcull):
+    """Wavefront bounce + winner-residual record, compaction-aware.
 
-    The grid INCLUDES the trailing pad tile (unlike the aliased non-grad
-    launch): without input/output aliasing a skipped tile's out/res rows
-    would hold stale garbage on hardware, and the sort would read its
-    flags.  The pad tile takes the dead-tile branch (raygen zeroes its
-    flags), so its state passes through zeroed every bounce."""
+    Grid steps past the alive-prefix boundary (``meta_ref[3]``) are
+    redirected to the pad tile: state rides through the in/out alias
+    untouched, and only benign flag zeros are flushed (the out VMEM block
+    is STALE on hardware for a step that skips its stores — the same
+    hazard the non-grad kernel documents).  The pad res row is zeroed with
+    hmid = -1 so nothing it holds ever looks like a winner."""
     seed = meta_ref[1].astype(jnp.uint32)
     nl = meta_ref[2]
+    in_region = pl.program_id(0) < meta_ref[3]
     alive = st_ref[C_ALIVE] > 0.5
     any_alive = jnp.any(alive)
     zeros = jnp.zeros_like(st_ref[C_ALIVE])
 
-    @pl.when(jnp.logical_not(any_alive))
-    def _():   # dead tile: state passes through; no winner anywhere
-        for c in range(N_CH):
-            out_ref[c] = st_ref[c]
+    @pl.when(jnp.logical_not(in_region))
+    def _():
+        out_ref[C_ALIVE] = zeros
+        out_ref[C_INIMG] = zeros
         out_ref[C_MISS] = zeros
         for c in range(N_RES):
             res_ref[c] = zeros
         res_ref[4] = zeros - 1.0   # hmid = -1 (no winner)
 
-    @pl.when(any_alive)
+    @pl.when(in_region & jnp.logical_not(any_alive))
+    def _():   # dead tile inside the prefix: state through; no winner
+        for c in range(N_CH):
+            out_ref[c] = st_ref[c]
+        out_ref[C_MISS] = zeros
+        for c in range(N_RES):
+            res_ref[c] = zeros
+        res_ref[4] = zeros - 1.0
+
+    @pl.when(in_region & any_alive)
     def _():
         pid = ids_ref[0].astype(jnp.uint32)
         sample = ids_ref[1].astype(jnp.uint32)
@@ -114,9 +135,12 @@ def _bounce_fwd_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
             for l in range(n_light_slots))
         theta = ((), sky, lights)
         capture = {}
+        n_blocks = prim_ref.shape[0]
         intersect_fn, occluded_fn = _make_intersectors(
             blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr, n_nodes,
-            block, n_mats, mtypes, capture=capture, frustum=k == 0)
+            block, n_mats, mtypes, capture=capture, frustum=k == 0,
+            cand=((cand_ref, ctn_ref, n_blocks) if precull else None),
+            tcull=tcull)
 
         u = _uniforms(pid, sample, seed, k)
         want_miss = sky_mode == physics.SKY_ENVMAP
@@ -152,67 +176,85 @@ def _bounce_bwd_kernel(meta_ref, blob_ref, st_ref, ids_ref, res_ref, ct_ref,
     per-lane geometry cotangents (d center xyz, d radius), and the
     scalar-uniform grads (sky + material table + light slots) accumulated
     across the grid in SMEM.
+
+    Steps past the forward's alive-prefix boundary are skipped: the
+    forward was the identity there (aliased pass-through), so the ct->din
+    alias passes their cotangents through; their dgeo pad-row flush is
+    masked out of the per-prim scatter by the caller.  The dscal
+    accumulator is still zeroed when even step 0 is skipped (all-dead
+    chunk) so no stale garbage reaches the blob gradient.
     """
     seed = meta_ref[1].astype(jnp.uint32)
     nl = meta_ref[2]
-    pid = ids_ref[0].astype(jnp.uint32)
-    sample = ids_ref[1].astype(jnp.uint32)
-    zeros = jnp.zeros_like(st_ref[C_ALIVE])
-
-    sky = tuple(blob_ref[_SKY_OFF + a] for a in range(physics.N_SKY_ATTRS))
-    mats = _read_mats(blob_ref, n_mats)
-    lights = _read_lights(blob_ref, n_mats, n_light_slots)
-
-    state = tuple(st_ref[c] for c in range(N_STATE))
-    aux = (st_ref[C_ALIVE] > 0.5, st_ref[C_SPEC] > 0.5)
-    hcx, hcy, hcz, hr = (res_ref[0], res_ref[1], res_ref[2], res_ref[3])
-    hmid = res_ref[4]
-    blocked = res_ref[7] > 0.5
-
-    u = _uniforms(pid, sample, seed, k)
-    want_miss = sky_mode == physics.SKY_ENVMAP
-    cfg = physics.BounceCfg(
-        mtypes=(), k=k, rr_depth=rr_depth, use_nee=use_nee,
-        use_mis=use_mis, sky_mode=sky_mode, n_light_slots=n_light_slots,
-        want_miss=want_miss)
-
-    def f(theta2, st):
-        sky_t, mats_t, lights_t, cxt, cyt, czt, rt = theta2
-        ifn = _rebuilt_intersect(mats_t, mtypes, cxt, cyt, czt, rt, hmid)
-        ofn = lambda *a: blocked
-        new_state, new_aux = physics.trace_bounce(
-            ((), sky_t, lights_t), st, aux, u, nl, cfg,
-            intersect_fn=ifn, occluded_fn=ofn)
-        return new_state, new_aux
-
-    theta2 = (sky, mats, lights, hcx, hcy, hcz, hr)
-    _, vjp_fn, _ = jax.vjp(f, theta2, state, has_aux=True)
-    state_ct = tuple(ct_ref[c] for c in range(N_STATE))
-    th2_ct, st_ct = vjp_fn(state_ct)
-
-    for c in range(N_STATE):
-        din_ref[c] = st_ct[c]
-    for c in (C_ALIVE, C_SPEC, C_MISS):
-        din_ref[c] = zeros
-    din_ref[C_INIMG] = ct_ref[C_INIMG]   # passes through the fwd kernel
-
-    for a, d in enumerate(th2_ct[3:7]):
-        dgeo_ref[a] = d
-
-    flat = (list(th2_ct[0])
-            + [x for m in th2_ct[1] for x in m]
-            + [x for l in th2_ct[2] for x in l])
+    in_region = pl.program_id(0) < meta_ref[3]
     first = pl.program_id(0) == 0
+    n_scal = dscal_ref.shape[0]
 
-    @pl.when(first)
+    @pl.when(first & jnp.logical_not(in_region))
     def _():
-        for i, v in enumerate(flat):
-            dscal_ref[i] = v
+        for i in range(n_scal):
+            dscal_ref[i] = jnp.float32(0.0)
 
-    @pl.when(jnp.logical_not(first))
+    @pl.when(in_region)
     def _():
-        for i, v in enumerate(flat):
-            dscal_ref[i] += v
+        pid = ids_ref[0].astype(jnp.uint32)
+        sample = ids_ref[1].astype(jnp.uint32)
+        zeros = jnp.zeros_like(st_ref[C_ALIVE])
+
+        sky = tuple(blob_ref[_SKY_OFF + a]
+                    for a in range(physics.N_SKY_ATTRS))
+        mats = _read_mats(blob_ref, n_mats)
+        lights = _read_lights(blob_ref, n_mats, n_light_slots)
+
+        state = tuple(st_ref[c] for c in range(N_STATE))
+        aux = (st_ref[C_ALIVE] > 0.5, st_ref[C_SPEC] > 0.5)
+        hcx, hcy, hcz, hr = (res_ref[0], res_ref[1], res_ref[2], res_ref[3])
+        hmid = res_ref[4]
+        blocked = res_ref[7] > 0.5
+
+        u = _uniforms(pid, sample, seed, k)
+        want_miss = sky_mode == physics.SKY_ENVMAP
+        cfg = physics.BounceCfg(
+            mtypes=(), k=k, rr_depth=rr_depth, use_nee=use_nee,
+            use_mis=use_mis, sky_mode=sky_mode, n_light_slots=n_light_slots,
+            want_miss=want_miss)
+
+        def f(theta2, st):
+            sky_t, mats_t, lights_t, cxt, cyt, czt, rt = theta2
+            ifn = _rebuilt_intersect(mats_t, mtypes, cxt, cyt, czt, rt, hmid)
+            ofn = lambda *a: blocked
+            new_state, new_aux = physics.trace_bounce(
+                ((), sky_t, lights_t), st, aux, u, nl, cfg,
+                intersect_fn=ifn, occluded_fn=ofn)
+            return new_state, new_aux
+
+        theta2 = (sky, mats, lights, hcx, hcy, hcz, hr)
+        _, vjp_fn, _ = jax.vjp(f, theta2, state, has_aux=True)
+        state_ct = tuple(ct_ref[c] for c in range(N_STATE))
+        th2_ct, st_ct = vjp_fn(state_ct)
+
+        for c in range(N_STATE):
+            din_ref[c] = st_ct[c]
+        for c in (C_ALIVE, C_SPEC, C_MISS):
+            din_ref[c] = zeros
+        din_ref[C_INIMG] = ct_ref[C_INIMG]   # passes through the fwd kernel
+
+        for a, d in enumerate(th2_ct[3:7]):
+            dgeo_ref[a] = d
+
+        flat = (list(th2_ct[0])
+                + [x for m in th2_ct[1] for x in m]
+                + [x for l in th2_ct[2] for x in l])
+
+        @pl.when(first)
+        def _():
+            for i, v in enumerate(flat):
+                dscal_ref[i] = v
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            for i, v in enumerate(flat):
+                dscal_ref[i] += v
 
 
 # ---------------------------------------------------------------------------
@@ -222,7 +264,7 @@ def _bounce_bwd_kernel(meta_ref, blob_ref, st_ref, ids_ref, res_ref, ct_ref,
 @functools.lru_cache(maxsize=128)
 def _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats, mtypes,
                n_light_slots, rr_depth, use_nee, use_mis, sky_mode,
-               block_prim_ids_key, interpret):
+               block_prim_ids_key, precull, tcull, interpret):
     """Cached differentiable bounce op for one static configuration.
 
     ``block_prim_ids_key`` is only part of the cache key (the actual map is
@@ -235,30 +277,49 @@ def _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats, mtypes,
                 n_light_slots=n_light_slots, rr_depth=rr_depth,
                 use_nee=use_nee, use_mis=use_mis, sky_mode=sky_mode)
 
-    def fwd_call(meta, blob, nodef, nodei, prims, st, ids):
+    def _redirect(i, m, *r):
+        return (0, jnp.where(i < m[3], i, n_tiles), 0)
+
+    def _redirect2(i, m, *r):
+        return (jnp.where(i < m[3], i, n_tiles), 0, 0)
+
+    if precull:
+        cand_specs = [
+            pl.BlockSpec((1, 1, n_blocks + 1), _redirect2,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_blocks), _redirect2,
+                         memory_space=pltpu.SMEM),
+        ]
+    else:
+        cand_specs = [
+            pl.BlockSpec((1, 1, 1), lambda i, m, *r: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, m, *r: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+
+    def fwd_call(meta, blob, nodef, nodei, prims, cand, ctn, st, ids):
         return pl.pallas_call(
             functools.partial(_bounce_fwd_kernel, n_nodes=n_nodes,
-                              block=block, **stat),
+                              block=block, precull=precull, tcull=tcull,
+                              **stat),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(n_tiles + 1,),
+                grid=(n_tiles,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # nodef
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # nodei
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # prims
-                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
-                                 lambda i, *r: (0, i, 0),
+                    *cand_specs,
+                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((2, TILE_ROWS, TILE_LANES),
-                                 lambda i, *r: (0, i, 0),
+                    pl.BlockSpec((2, TILE_ROWS, TILE_LANES), _redirect,
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
-                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
-                                 lambda i, *r: (0, i, 0),
+                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((N_RES, TILE_ROWS, TILE_LANES),
-                                 lambda i, *r: (0, i, 0),
+                    pl.BlockSpec((N_RES, TILE_ROWS, TILE_LANES), _redirect,
                                  memory_space=pltpu.VMEM),
                 ],
                 scratch_shapes=[pltpu.SMEM((max(n_blocks, 1),), jnp.int32)],
@@ -269,35 +330,32 @@ def _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats, mtypes,
                 jax.ShapeDtypeStruct((N_RES, n_rows, TILE_LANES),
                                      jnp.float32),
             ],
+            # State rides aliased (the dead suffix is preserved in place);
+            # XLA copies the operand where the saved residual keeps it live.
+            input_output_aliases={7: 0},
             interpret=interpret,
-        )(meta, blob, nodef, nodei, prims, st, ids)
+        )(meta, blob, nodef, nodei, prims, cand, ctn, st, ids)
 
     def bwd_call(meta, blob, st, ids, res, ct):
         return pl.pallas_call(
             functools.partial(_bounce_bwd_kernel, **stat),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(n_tiles + 1,),
+                grid=(n_tiles,),
                 in_specs=[
-                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
-                                 lambda i, *r: (0, i, 0),
+                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((2, TILE_ROWS, TILE_LANES),
-                                 lambda i, *r: (0, i, 0),
+                    pl.BlockSpec((2, TILE_ROWS, TILE_LANES), _redirect,
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((N_RES, TILE_ROWS, TILE_LANES),
-                                 lambda i, *r: (0, i, 0),
+                    pl.BlockSpec((N_RES, TILE_ROWS, TILE_LANES), _redirect,
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
-                                 lambda i, *r: (0, i, 0),
+                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
-                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
-                                 lambda i, *r: (0, i, 0),
+                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((4, TILE_ROWS, TILE_LANES),
-                                 lambda i, *r: (0, i, 0),
+                    pl.BlockSpec((4, TILE_ROWS, TILE_LANES), _redirect,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.SMEM),
                 ],
@@ -308,16 +366,20 @@ def _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats, mtypes,
                 jax.ShapeDtypeStruct((4, n_rows, TILE_LANES), jnp.float32),
                 jax.ShapeDtypeStruct((n_scal,), jnp.float32),
             ],
+            # Cotangents of the untouched suffix pass straight through.
+            input_output_aliases={5: 0},
             interpret=interpret,
         )(meta, blob, st, ids, res, ct)
 
     @jax.custom_vjp
-    def op(meta, blob, nodef, nodei, prims, st, ids):
-        out, _ = fwd_call(meta, blob, nodef, nodei, prims, st, ids)
+    def op(meta, blob, nodef, nodei, prims, cand, ctn, st, ids):
+        out, _ = fwd_call(meta, blob, nodef, nodei, prims, cand, ctn, st,
+                          ids)
         return out
 
-    def op_fwd(meta, blob, nodef, nodei, prims, st, ids):
-        out, res = fwd_call(meta, blob, nodef, nodei, prims, st, ids)
+    def op_fwd(meta, blob, nodef, nodei, prims, cand, ctn, st, ids):
+        out, res = fwd_call(meta, blob, nodef, nodei, prims, cand, ctn, st,
+                            ids)
         return out, (meta, blob, nodef, nodei, prims, st, ids, res)
 
     def op_bwd(r, ct):
@@ -340,19 +402,24 @@ def _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats, mtypes,
 
         # Per-lane geometry cotangents -> leaf prim table rows 0-3, keyed
         # by the saved (block, slot).  Pure-XLA scatter-add: no O(n_blocks)
-        # presence scan anywhere.
+        # presence scan anywhere.  Rows past the compaction boundary (and
+        # the pad tile) hold stale hardware garbage — their scatter targets
+        # are redirected to a discard slot instead of masking by value, so
+        # NaN/Inf garbage cannot contaminate real entries.
         rr = dgeo.shape[1] * dgeo.shape[2]
+        nalive_rays = meta[3] * TILE
+        in_pref = jnp.arange(rr, dtype=jnp.int32) < nalive_rays
         hmid = res[4].reshape(rr)
-        blk = jnp.clip(res[5].reshape(rr).astype(jnp.int32), 0,
-                       max(n_blocks - 1, 0))
+        ok = in_pref & (hmid >= 0.0)
+        blk = jnp.where(ok, jnp.clip(res[5].reshape(rr).astype(jnp.int32),
+                                     0, max(n_blocks - 1, 0)), n_blocks)
         slot = jnp.clip(res[6].reshape(rr).astype(jnp.int32), 0, block - 1)
-        ok = hmid >= 0.0
-        d_prims = jnp.zeros((n_blocks, 5, block), jnp.float32)
+        d_prims = jnp.zeros((n_blocks + 1, 5, block), jnp.float32)
         for a in range(4):
             d_prims = d_prims.at[blk, a, slot].add(
                 jnp.where(ok, dgeo[a].reshape(rr), 0.0))
         return (None, d_blob, jnp.zeros_like(nodef),
-                None, d_prims, din, None)
+                None, d_prims[:n_blocks], None, None, din, None)
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -366,7 +433,7 @@ def _run_wavefront_diff(blob, meta, nodef, nodei, prims, env, *, width,
                         height, chunk_spp, block, n_mats, mtypes,
                         n_light_slots, max_bounces, rr_depth, use_nee,
                         use_mis, sky_mode, dof, sort_every, qbits, dir_major,
-                        dbits, interpret, bpi_key):
+                        dbits, compact, precull, tcull, interpret, bpi_key):
     """One differentiable wavefront chunk -> (H, W, 3) radiance sum."""
     n_nodes = nodef.shape[0] // 8
     n_blocks = prims.shape[0]
@@ -374,14 +441,28 @@ def _run_wavefront_diff(blob, meta, nodef, nodei, prims, env, *, width,
         meta, jax.lax.stop_gradient(blob), width=width, height=height,
         chunk_spp=chunk_spp, dof=dof, interpret=interpret)
     lo, ext = _scene_sort_bounds(jax.lax.stop_gradient(nodef))
+    if precull:
+        lob, hib = _leaf_block_bounds(jax.lax.stop_gradient(prims))
+    nalive = jnp.int32(n_tiles)
     for k in range(max_bounces):
         if sort_every and k and (k - 1) % sort_every == 0:
-            st, ids, _ = _sort_rays(st, ids, lo, ext, qbits, dir_major,
-                                    dbits)
+            # variadic=False: the backward needs jnp.take's transpose rule
+            # (scatter-add); lax.sort has no transpose.
+            st, ids, na = _sort_rays(st, ids, lo, ext, qbits, dir_major,
+                                     dbits, variadic=False)
+            if compact:
+                nalive = na
+        if precull:
+            cand, ctn = _precull(jax.lax.stop_gradient(st), lob, hib,
+                                 n_tiles)
+        else:
+            cand = jnp.zeros((1, 1, 1), jnp.int32)
+            ctn = jnp.zeros((1, 1, 1), jnp.float32)
+        meta4 = jnp.concatenate([meta[:3], nalive.reshape(1)])
         op = _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats,
                         mtypes, n_light_slots, rr_depth, use_nee, use_mis,
-                        sky_mode, bpi_key, interpret)
-        st = op(meta, blob, nodef, nodei, prims, st, ids)
+                        sky_mode, bpi_key, precull, tcull, interpret)
+        st = op(meta4, blob, nodef, nodei, prims, cand, ctn, st, ids)
         if sky_mode == physics.SKY_ENVMAP:
             st = _add_env_radiance(st, env)
     return _scatter_image(st, ids, width, height)
@@ -393,7 +474,8 @@ def make_wavefront_render_fn(scene: SceneData, camera, width: int,
                              use_mis: bool = True, seed: int = 0,
                              sort_every: int = 1, qbits: int = Q_BITS,
                              dir_major: bool = True, dbits: int = D_BITS,
-                             block: int = BLOCK,
+                             block: int = BLOCK, compact: bool = True,
+                             precull: bool = True, tcull: bool = True,
                              chunk_rays: int = 2 << 20,
                              interpret: bool = False):
     """render(params, start_sample) -> (H, W, 3) mean radiance,
@@ -424,7 +506,8 @@ def make_wavefront_render_fn(scene: SceneData, camera, width: int,
               sky_mode=scene.sky_mode, dof=dof,
               sort_every=int(sort_every), qbits=int(qbits),
               dir_major=bool(dir_major), dbits=int(dbits),
-              interpret=interpret, bpi_key=bpi_key)
+              compact=bool(compact), precull=bool(precull),
+              tcull=bool(tcull), interpret=interpret, bpi_key=bpi_key)
     inv_spp = 1.0 / spp
     meta0 = jnp.asarray([0, seed, int(meta3[2])], jnp.int32)
 

@@ -61,6 +61,23 @@ def test_sort_is_invisible(scene300):
     np.testing.assert_array_equal(a, d)
 
 
+def test_precull_matches_walk(scene300):
+    """The XLA precull + in-kernel candidate sweep must agree with the
+    in-kernel tree walk: the precull's per-lane slab tests are exactly the
+    tests the walk would run at each leaf, so the only legal differences
+    are t-ties resolved in a different sweep order (none in this scene)."""
+    a = np.asarray(wavefront.render_wavefront(
+        scene300, CAM, W, H, 0, 1, precull=True, interpret=True, **KW))
+    b = np.asarray(wavefront.render_wavefront(
+        scene300, CAM, W, H, 0, 1, precull=False, interpret=True, **KW))
+    np.testing.assert_array_equal(a, b)
+    # The nearest-first early-exit (tcull) is a pure optimization.
+    c = np.asarray(wavefront.render_wavefront(
+        scene300, CAM, W, H, 0, 1, precull=True, tcull=False,
+        interpret=True, **KW))
+    np.testing.assert_array_equal(a, c)
+
+
 def test_chunking_is_invisible(scene300):
     """Chunked sample batches sum to the same image (same start_sample
     streams), regardless of the chunk size."""

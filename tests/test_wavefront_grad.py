@@ -89,6 +89,44 @@ def test_wavefront_grads_match_soa(scene160, wf_render):
                                    err_msg=key)
 
 
+def test_wavefront_grad_compaction_invisible(scene160):
+    """Alive-prefix compaction under grad (r4) must change nothing.
+
+    rr_depth=1 kills most rays by bounce 2, so the sorted stream has a
+    real dead suffix and the compacted run actually skips tiles; the
+    forward image and every cotangent must still match the uncompacted
+    run exactly (the suffix's forward is the aliased identity, its
+    cotangents pass through, and its stale winner rows are masked out of
+    the per-prim scatter)."""
+    kw = dict(KW, rr_depth=1)
+    params = G.get_params(scene160, ("albedo", "centers", "radii"))
+    rc = wg.make_wavefront_render_fn(
+        scene160, CAM, W, H, spp=SPP, compact=True, interpret=True, **kw)
+    rn = wg.make_wavefront_render_fn(
+        scene160, CAM, W, H, spp=SPP, compact=False, interpret=True, **kw)
+    vc, gc = jax.value_and_grad(lambda p: jnp.sum(rc(p, 0)))(params)
+    vn, gn = jax.value_and_grad(lambda p: jnp.sum(rn(p, 0)))(params)
+    np.testing.assert_allclose(float(vc), float(vn), rtol=1e-6)
+    for key in params:
+        np.testing.assert_allclose(np.asarray(gc[key]),
+                                   np.asarray(gn[key]),
+                                   rtol=1e-5, atol=1e-7, err_msg=key)
+
+
+def test_wavefront_grad_precull_invisible(scene160):
+    """Candidate-sweep intersection == tree walk, through the backward."""
+    params = G.get_params(scene160, ("albedo",))
+    rp = wg.make_wavefront_render_fn(
+        scene160, CAM, W, H, spp=1, precull=True, interpret=True, **KW)
+    rw = wg.make_wavefront_render_fn(
+        scene160, CAM, W, H, spp=1, precull=False, interpret=True, **KW)
+    gp = jax.grad(lambda p: jnp.sum(rp(p, 0)))(params)
+    gw = jax.grad(lambda p: jnp.sum(rw(p, 0)))(params)
+    np.testing.assert_allclose(np.asarray(gp["albedo"]),
+                               np.asarray(gw["albedo"]),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_wavefront_grad_sort_invisible(scene160):
     """Sorting is a permutation: gradients with/without sorting agree."""
     params = G.get_params(scene160, ("albedo", "centers"))

@@ -44,16 +44,22 @@ def main():
         # variants lose: dbits=2 12.5s (direction-tight packets scatter
         # origins), rowsort 15.2s (frozen 128-ray row membership kills
         # coherence), sort_every=2 7.5s.
-        ("dir-major b32", dict(sort_every=1, dir_major=True, dbits=0)),
-        ("dir-major b256", dict(sort_every=1, dir_major=True, dbits=0,
-                                block=256)),
-        ("b256 se2", dict(sort_every=2, dir_major=True, dbits=0,
-                          block=256)),
-        ("b256 dbits2", dict(sort_every=1, dir_major=True, dbits=2,
-                             block=256)),
-        ("b256 rowsort", dict(sort_every=1, dir_major=True, dbits=0,
-                              block=256, rowsort=True)),
-        ("b256 no-sort", dict(sort_every=0, block=256)),
+        # r4 adds the XLA precull (no in-kernel tree walk) — with the walk
+        # gone, SMALLER blocks may win again (finer per-lane culling, no
+        # per-node sync to amortize).
+        ("walk b256", dict(sort_every=1, dir_major=True, dbits=0,
+                           block=256, precull=False)),
+        ("precull b256", dict(sort_every=1, dir_major=True, dbits=0,
+                              block=256, precull=True)),
+        ("precull b256 no-tcull", dict(sort_every=1, dir_major=True,
+                                       dbits=0, block=256, precull=True,
+                                       tcull=False)),
+        ("precull b128", dict(sort_every=1, dir_major=True, dbits=0,
+                              block=128, precull=True)),
+        ("precull b64", dict(sort_every=1, dir_major=True, dbits=0,
+                             block=64, precull=True)),
+        ("precull b32", dict(sort_every=1, dir_major=True, dbits=0,
+                             block=32, precull=True)),
     ]
     for name, knobs in variants:
         t0 = time.time()
