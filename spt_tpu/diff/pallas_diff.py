@@ -94,10 +94,16 @@ def make_pallas_render_fn(scene: SceneData, camera, width: int, height: int,
         sc = G.apply_params(scene, params)
         return megakernel.pack_blob_jnp(sc, camera)
 
+    def _lsb(params):
+        sc = G.apply_params(scene, params)
+        return jax.lax.stop_gradient(physics.lsel_bounds(
+            sc.centers, sc.radii, sc.prim_valid))
+
     @jax.custom_vjp
     def render(params, start_sample):
         blob = _blob(params)
-        return megakernel._launch(blob, _meta(start_sample), **kw) * inv_spp
+        return megakernel._launch(blob, _meta(start_sample), _lsb(params),
+                                  **kw) * inv_spp
 
     def render_fwd(params, start_sample):
         return render(params, start_sample), (params, start_sample)
@@ -113,7 +119,7 @@ def make_pallas_render_fn(scene: SceneData, camera, width: int, height: int,
                               megakernel.TILE_LANES)
         _, gvec = megakernel_grad._launch_grad(
             megakernel.pack_blob_jnp(sc, camera), _meta(start_sample),
-            ct_flat, **kw)
+            _lsb(params), ct_flat, **kw)
         A = physics.N_SPHERE_ATTRS
         sph = gvec[:n_prims * A].reshape(n_prims, A) \
             * scene.prim_valid.astype(jnp.float32)[:, None]
@@ -181,8 +187,10 @@ def _make_bvh_render_fn(scene: SceneData, camera, width: int, height: int,
     @jax.custom_vjp
     def render(params, start_sample):
         blob, prims, nodef = _tables(params)
+        lsb = jax.lax.stop_gradient(physics.lsel_bounds_from_prims(prims))
         return megakernel_bvh._launch_bvh(
-            blob, _meta(start_sample), nodef, nodei, prims, **kw) * inv_spp
+            blob, _meta(start_sample), lsb, nodef, nodei, prims,
+            **kw) * inv_spp
 
     def render_fwd(params, start_sample):
         return render(params, start_sample), (params, start_sample)
@@ -190,9 +198,11 @@ def _make_bvh_render_fn(scene: SceneData, camera, width: int, height: int,
     def render_bwd(res, ct):
         params, start_sample = res
         blob, prims, nodef = _tables(params)
+        lsb = jax.lax.stop_gradient(physics.lsel_bounds_from_prims(prims))
         ct_flat = megakernel_bvh_grad.swizzle_ct(ct * inv_spp, width, height)
         _, grad_s, grad_g = megakernel_bvh_grad._launch_bvh_grad(
-            blob, _meta(start_sample), nodef, nodei, prims, ct_flat, **kw)
+            blob, _meta(start_sample), lsb, nodef, nodei, prims, ct_flat,
+            **kw)
         full = megakernel_bvh_grad.map_raw_grads(scene, static, grad_s,
                                                  grad_g)
         return {k: full[k] for k in params}, None

@@ -399,6 +399,8 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
     seed_u = jnp.uint32(seed)
     nl = max(scene.num_lights, 1)
     has_lights = scene.num_lights > 0 and use_nee
+    from ..kernels import physics as _ph
+    lsb = _ph.lsel_bounds(scene.centers, scene.radii, scene.prim_valid)
 
     def one_sample(carry_radiance, sample_id):
         sid = jnp.asarray(sample_id, jnp.uint32)
@@ -470,7 +472,14 @@ def render_megasample(scene: SceneData, camera, width: int, height: int,
 
             # Next-event estimation (skip delta lobes).
             if has_lights:
-                ul_sel = _u(pixel_id, sid_b, ku, _DIM_LSEL, seed_u)
+                # Light pick keyed on the shading-point cell (r4) — the
+                # coherence that makes wavefront NEE cullable; same stream
+                # in every backend (physics.LSEL_CELLS).
+                kp = jnp.where(jnp.broadcast_to(ku == 0, (n_px, 1)), p, o)
+                cell = _ph.lsel_cell(kp[:, 0], kp[:, 1], kp[:, 2],
+                                     (lsb[0], lsb[1], lsb[2]),
+                                     (lsb[3], lsb[4], lsb[5]))
+                ul_sel = _u(cell, sid_b, ku, _DIM_LSEL, seed_u)
                 lu1 = _u(pixel_id, sid_b, ku, _DIM_LU1, seed_u)
                 lu2 = _u(pixel_id, sid_b, ku, _DIM_LU2, seed_u)
                 l_slot = jnp.minimum((ul_sel * nl).astype(jnp.int32), nl - 1)

@@ -137,6 +137,9 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
     seed_u = jnp.uint32(seed)
     nl = max(scene.num_lights, 1)
     has_lights = scene.num_lights > 0 and use_nee
+    from ..kernels import physics as _physics
+    lsb = _physics.lsel_bounds(scene.centers, scene.radii,
+                               scene.prim_valid)
     n_light_slots = scene.light_idx.shape[0]
 
     # Per-sphere scalar attribute getters (traced; gradients flow).
@@ -447,8 +450,13 @@ def render_megasample_soa(scene: SceneData, camera, width: int, height: int,
             off_sign = jnp.where(m_die & ~refl, -1.0, 1.0)
 
             if has_lights:
+                k0 = k == 0
+                cell = _physics.lsel_cell(
+                    jnp.where(k0, hx, ox), jnp.where(k0, hy, oy),
+                    jnp.where(k0, hz, oz), (lsb[0], lsb[1], lsb[2]),
+                    (lsb[3], lsb[4], lsb[5]))
                 ul = rng.counter_uniform(
-                    pid, sid_b, k.astype(jnp.uint32) * _NDIMS + _DIM_LSEL, seed_u)
+                    cell, sid_b, k.astype(jnp.uint32) * _NDIMS + _DIM_LSEL, seed_u)
                 lu1 = rng.counter_uniform(
                     pid, sid_b, k.astype(jnp.uint32) * _NDIMS + _DIM_LU1, seed_u)
                 lu2 = rng.counter_uniform(

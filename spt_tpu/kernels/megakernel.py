@@ -191,9 +191,9 @@ def _fresnel_dielectric(cos_i, eta_ti):
     return jnp.where(sin2_t >= 1.0, 1.0, f)
 
 
-def _kernel(meta_ref, blob_ref, out_ref, *, n_prims, n_light_slots, mtypes,
-            width, height, max_bounces, rr_depth, use_nee, use_mis, sky_mode,
-            dof):
+def _kernel(meta_ref, blob_ref, lsb_ref, out_ref, *, n_prims,
+            n_light_slots, mtypes, width, height, max_bounces, rr_depth,
+            use_nee, use_mis, sky_mode, dof):
     from . import physics
     tile = pl.program_id(0)
     s_idx = pl.program_id(1)
@@ -269,8 +269,11 @@ def _kernel(meta_ref, blob_ref, out_ref, *, n_prims, n_light_slots, mtypes,
             return rng.counter_uniform(pid, sample,
                                        jnp.uint32(k * _NDIMS + dim), seed)
         uniforms = dict(rr=u(_DIM_RR), u1=u(_DIM_U1), u2=u(_DIM_U2),
-                        lobe=u(_DIM_LOBE), lsel=u(_DIM_LSEL),
-                        lu1=u(_DIM_LU1), lu2=u(_DIM_LU2))
+                        lobe=u(_DIM_LOBE),
+                        lu1=u(_DIM_LU1), lu2=u(_DIM_LU2),
+                        lsel_lo=tuple(lsb_ref[a] for a in range(3)),
+                        lsel_ext=tuple(lsb_ref[3 + a] for a in range(3)),
+                        sample=sample, seed=seed)
         cfg = physics.BounceCfg(
             mtypes=mtypes, k=k, rr_depth=rr_depth, use_nee=use_nee,
             use_mis=use_mis, sky_mode=sky_mode, n_light_slots=n_light_slots)
@@ -298,9 +301,9 @@ def _kernel(meta_ref, blob_ref, out_ref, *, n_prims, n_light_slots, mtypes,
     static_argnames=("width", "height", "spp", "n_prims", "n_light_slots",
                      "mtypes", "max_bounces", "rr_depth", "use_nee",
                      "use_mis", "sky_mode", "dof", "interpret"))
-def _launch(blob, meta, *, width, height, spp, n_prims, n_light_slots,
-            mtypes, max_bounces, rr_depth, use_nee, use_mis, sky_mode,
-            dof=False, interpret=False):
+def _launch(blob, meta, lsb, *, width, height, spp, n_prims,
+            n_light_slots, mtypes, max_bounces, rr_depth, use_nee, use_mis,
+            sky_mode, dof=False, interpret=False):
     n_pix = width * height
     n_tiles = pl.cdiv(n_pix, TILE)
     kernel = functools.partial(
@@ -309,7 +312,7 @@ def _launch(blob, meta, *, width, height, spp, n_prims, n_light_slots,
         rr_depth=rr_depth, use_nee=use_nee, use_mis=use_mis,
         sky_mode=sky_mode, dof=dof)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles, spp),
         in_specs=[],
         out_specs=pl.BlockSpec(
@@ -323,7 +326,7 @@ def _launch(blob, meta, *, width, height, spp, n_prims, n_light_slots,
         out_shape=jax.ShapeDtypeStruct((3, n_tiles * TILE_ROWS, TILE_LANES),
                                        jnp.float32),
         interpret=interpret,
-    )(meta, blob)
+    )(meta, blob, lsb)
     flat = out.reshape(3, n_tiles * TILE)[:, :n_pix]
     return jnp.moveaxis(flat, 0, -1).reshape(height, width, 3)
 
@@ -350,8 +353,10 @@ def render_tiles(scene: SceneData, camera, width: int, height: int,
     meta[_META_FIXED:_META_FIXED + n_prims] = mt
     for i, p in enumerate(light_prims):
         meta[_META_FIXED + n_prims + i] = p
+    from . import physics as _ph
+    lsb = _ph.lsel_bounds(scene.centers, scene.radii, scene.prim_valid)
     return _launch(
-        jnp.asarray(blob), jnp.asarray(meta),
+        jnp.asarray(blob), jnp.asarray(meta), lsb,
         width=width, height=height, spp=spp, n_prims=n_prims,
         n_light_slots=len(light_prims), mtypes=tuple(mtypes),
         max_bounces=max_bounces, rr_depth=rr_depth,

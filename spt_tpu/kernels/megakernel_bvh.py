@@ -708,6 +708,50 @@ def _cand_sweep_nearest(prim_ref, cand_ref, ctn_ref, ox, oy, oz, dx, dy, dz,
     return out[3:]
 
 
+def _cand_sweep_anyhit(prim_ref, scand_ref, ox, oy, oz, dx, dy, dz, need,
+                       tmax, block):
+    """Any-hit sweep over a precomputed per-tile shadow candidate list.
+
+    The split-bounce wavefront preculls each tile's SHADOW rays in XLA
+    (wavefront._shadow_precull — per-lane slab tests with the per-ray
+    tmax bound, exact like the nearest-hit precull), so occlusion needs no
+    tree walk at all: sweep the listed blocks, exit as soon as every lane
+    that needs an answer is blocked (or the list ends).  Replaces the
+    _walk_collect + _leaf_sweep_anyhit pair whose serial per-node scalar
+    chain was 60-87% of every bounce kernel (r4 profile).
+    """
+    ncand = scand_ref[0, 0, 0]
+
+    def cond(c):
+        i, blocked = c
+        return (i < ncand) & jnp.any(need & (blocked < 0.5))
+
+    def body(c):
+        i, blocked = c
+        blk = scand_ref[0, 0, i + 1]
+        for j in range(block):
+            cx = prim_ref[blk, 0, j]
+            cy = prim_ref[blk, 1, j]
+            cz = prim_ref[blk, 2, j]
+            r = prim_ref[blk, 3, j]
+            ocx, ocy, ocz = cx - ox, cy - oy, cz - oz
+            b = dx * ocx + dy * ocy + dz * ocz
+            cterm = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = b * b - cterm
+            pos = disc > 0.0
+            sq = jnp.sqrt(jnp.maximum(jnp.where(pos, disc, 1.0), 1e-12))
+            t0 = b - sq
+            t1 = b + sq
+            tj = jnp.where(t0 > TMIN, t0, t1)
+            hit_j = pos & (tj > TMIN) & (tj < tmax) & need
+            blocked = jnp.maximum(blocked, hit_j.astype(jnp.float32))
+        return i + 1, blocked
+
+    _, blocked = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros(ox.shape, jnp.float32)))
+    return blocked > 0.5
+
+
 def _packet_obase(dx, dy, dz, active, n_nodes):
     """Scalar row offset of the octant-ordered node table for this packet.
 
@@ -788,12 +832,18 @@ def _make_intersectors(blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr,
         return t, h, m_lam, m_met, m_die
 
     def occluded(ox, oy, oz, dx, dy, dz, tmax, need):
+        # Shadow rays always walk WITH the scalar frustum filter: the
+        # cell-keyed light pick (physics.LSEL_CELLS) makes a tile's shadow
+        # rays one narrow cone per shading cell, so the interval test
+        # rejects most nodes with zero vector work — the fix for the
+        # r4-profiled 60-87% occlusion share of every bounce kernel.
+        # (Wide mixed-cell packets just pass the filter; never wrong.)
         ivx, ivy, ivz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
         n_found = _walk_collect(nodef_ref, nodei_ref, blk_scr, ox, oy, oz,
                                 ivx, ivy, ivz, need, tmax, n_nodes,
                                 obase=_packet_obase(dx, dy, dz, need,
                                                     n_nodes),
-                                frustum=frustum)
+                                frustum=True)
         blocked = _leaf_sweep_anyhit(prim_ref, blk_scr, n_found, ox, oy, oz,
                                      dx, dy, dz, need, tmax, block)
         if capture is not None:
@@ -803,10 +853,10 @@ def _make_intersectors(blob_ref, nodef_ref, nodei_ref, prim_ref, blk_scr,
     return intersect, occluded
 
 
-def _kernel_bvh(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref, out_ref,
-                blk_scr, *, n_nodes, block, n_mats, mtypes, n_light_slots,
-                width, height, tiles_x, max_bounces, rr_depth, use_nee,
-                use_mis, sky_mode, dof):
+def _kernel_bvh(meta_ref, blob_ref, lsb_ref, nodef_ref, nodei_ref,
+                prim_ref, out_ref, blk_scr, *, n_nodes, block, n_mats,
+                mtypes, n_light_slots, width, height, tiles_x, max_bounces,
+                rr_depth, use_nee, use_mis, sky_mode, dof):
     tile = pl.program_id(0)
     s_idx = pl.program_id(1)
     start_sample = meta_ref[0]
@@ -850,8 +900,9 @@ def _kernel_bvh(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref, out_ref,
              zero)
     aux = (in_image, jnp.ones_like(in_image))
 
+    lsb = tuple(lsb_ref[a] for a in range(6))
     for k in range(max_bounces):
-        u = _uniforms(pid, sample, seed, k)
+        u = _uniforms(pid, sample, seed, k, lsb)
         cfg = physics.BounceCfg(
             mtypes=(), k=k, rr_depth=rr_depth, use_nee=use_nee,
             use_mis=use_mis, sky_mode=sky_mode, n_light_slots=n_light_slots)
@@ -882,9 +933,10 @@ def _kernel_bvh(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref, out_ref,
     static_argnames=("width", "height", "spp", "block", "n_mats", "mtypes",
                      "n_light_slots", "max_bounces", "rr_depth", "use_nee",
                      "use_mis", "sky_mode", "dof", "interpret"))
-def _launch_bvh(blob, meta, nodef, nodei, prims, *, width, height, spp,
-                block, n_mats, mtypes, n_light_slots, max_bounces, rr_depth,
-                use_nee, use_mis, sky_mode, dof=False, interpret=False):
+def _launch_bvh(blob, meta, lsb, nodef, nodei, prims, *, width, height,
+                spp, block, n_mats, mtypes, n_light_slots, max_bounces,
+                rr_depth, use_nee, use_mis, sky_mode, dof=False,
+                interpret=False):
     tiles_x = pl.cdiv(width, TW)
     tiles_y = pl.cdiv(height, TH)
     n_tiles = tiles_x * tiles_y
@@ -897,7 +949,7 @@ def _launch_bvh(blob, meta, nodef, nodei, prims, *, width, height, spp,
         rr_depth=rr_depth, use_nee=use_nee, use_mis=use_mis,
         sky_mode=sky_mode, dof=dof)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles, spp),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # nodef
@@ -916,7 +968,7 @@ def _launch_bvh(blob, meta, nodef, nodei, prims, *, width, height, spp,
         out_shape=jax.ShapeDtypeStruct((3, n_tiles * TILE_ROWS, TILE_LANES),
                                        jnp.float32),
         interpret=interpret,
-    )(meta, blob, nodef, nodei, prims)
+    )(meta, blob, lsb, nodef, nodei, prims)
     # Un-swizzle: (3, tiles, TH*TW) -> (3, H, W) image.
     img = out.reshape(3, tiles_y, tiles_x, TH, TW)
     img = jnp.moveaxis(img, 3, 2).reshape(3, tiles_y * TH, tiles_x * TW)
@@ -974,8 +1026,9 @@ def render_tiles_bvh(scene: SceneData, camera, width: int, height: int,
     if dof is None:
         dof = bool(blob[13] > 0.0)
     meta = np.asarray([start_sample, seed, int(meta3[2])], np.int32)
+    lsb = physics.lsel_bounds_from_prims(prims)
     return _launch_bvh(
-        blob, jnp.asarray(meta), nodef, nodei, prims,
+        blob, jnp.asarray(meta), lsb, nodef, nodei, prims,
         width=width, height=height, spp=spp, block=static["block"],
         n_mats=static["n_mats"], mtypes=static["mtypes"],
         n_light_slots=static["n_light_slots"], max_bounces=max_bounces,

@@ -105,8 +105,8 @@ def _rebuilt_intersect(mats, mtypes, hcx, hcy, hcz, hr, hmid):
     return intersect
 
 
-def _kernel_bvh_grad(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
-                     ct_ref, rad_ref, grad_s_ref, grad_g_ref,
+def _kernel_bvh_grad(meta_ref, blob_ref, lsb_ref, nodef_ref, nodei_ref,
+                     prim_ref, ct_ref, rad_ref, grad_s_ref, grad_g_ref,
                      st_scr, aux_scr, hit_scr, blk_scr, *,
                      n_nodes, n_blocks, block, n_mats, mtypes,
                      n_light_slots, width, height, tiles_x, max_bounces,
@@ -116,6 +116,7 @@ def _kernel_bvh_grad(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
     start_sample = meta_ref[0]
     seed = meta_ref[1].astype(jnp.uint32)
     nl = meta_ref[2]
+    lsb = tuple(lsb_ref[a] for a in range(6))
     sample_scalar = (start_sample + s_idx).astype(jnp.uint32)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, TILE_LANES), 0)
@@ -171,7 +172,7 @@ def _kernel_bvh_grad(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
                                     poz, lvx, lvy, lvz, need, tmax, n_nodes,
                                     obase=_packet_obase(ldx, ldy, ldz, need,
                                                         n_nodes),
-                                    frustum=k == 0)
+                                    frustum=True)
             blocked = _leaf_sweep_anyhit(prim_ref, blk_scr, n_found, pox,
                                          poy, poz, ldx, ldy, ldz, need,
                                          tmax, block)
@@ -179,7 +180,7 @@ def _kernel_bvh_grad(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
             return blocked
 
         ifn = _rebuilt_intersect(mats, mtypes, hcx, hcy, hcz, hr, hmid)
-        u = _uniforms(pid, sample, seed, k)
+        u = _uniforms(pid, sample, seed, k, lsb)
         state, aux = physics.trace_bounce(
             ((), sky, lights), state, aux, u, nl, cfg_at(k),
             intersect_fn=ifn, occluded_fn=occ_and_save)
@@ -233,7 +234,7 @@ def _kernel_bvh_grad(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
         hblk = hit_scr[k, 5]
         hslot = hit_scr[k, 6]
         blocked_k = hit_scr[k, 7] > 0.5
-        u_k = _uniforms(pid, sample, seed, k)
+        u_k = _uniforms(pid, sample, seed, k, lsb)
         cfg_k = cfg_at(k)
 
         def f(theta2, st, hmid=hmid, blocked_k=blocked_k, aux_k=aux_k,
@@ -295,8 +296,9 @@ def _kernel_bvh_grad(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
     static_argnames=("width", "height", "spp", "block", "n_mats", "mtypes",
                      "n_light_slots", "max_bounces", "rr_depth", "use_nee",
                      "use_mis", "sky_mode", "dof", "interpret"))
-def _launch_bvh_grad(blob, meta, nodef, nodei, prims, ct, *, width, height,
-                     spp, block, n_mats, mtypes, n_light_slots, max_bounces,
+def _launch_bvh_grad(blob, meta, lsb, nodef, nodei, prims, ct, *, width,
+                     height, spp, block, n_mats, mtypes, n_light_slots,
+                     max_bounces,
                      rr_depth, use_nee, use_mis, sky_mode, dof=False,
                      interpret=False):
     tiles_x = pl.cdiv(width, TW)
@@ -312,7 +314,7 @@ def _launch_bvh_grad(blob, meta, nodef, nodei, prims, ct, *, width, height,
         max_bounces=max_bounces, rr_depth=rr_depth, use_nee=use_nee,
         use_mis=use_mis, sky_mode=sky_mode, dof=dof)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles, spp),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # nodef
@@ -348,7 +350,7 @@ def _launch_bvh_grad(blob, meta, nodef, nodei, prims, ct, *, width, height,
             jax.ShapeDtypeStruct((n_blocks, 8, block), jnp.float32),
         ),
         interpret=interpret,
-    )(meta, blob, nodef, nodei, prims, ct)
+    )(meta, blob, lsb, nodef, nodei, prims, ct)
     img = rad.reshape(3, tiles_y, tiles_x, TH, TW)
     img = jnp.moveaxis(img, 3, 2).reshape(3, tiles_y * TH, tiles_x * TW)
     img = jnp.moveaxis(img[:, :height, :width], 0, -1)
@@ -386,8 +388,9 @@ def render_and_grad_bvh(scene, camera, width, height, start_sample, spp, *,
         ct_image = jnp.ones((height, width, 3), jnp.float32)
     ct_flat = swizzle_ct(ct_image, width, height)
 
+    lsb = physics.lsel_bounds_from_prims(prims)
     img, grad_s, grad_g = _launch_bvh_grad(
-        blob, meta, nodef, nodei, prims, ct_flat,
+        blob, meta, lsb, nodef, nodei, prims, ct_flat,
         width=width, height=height, spp=spp, block=static["block"],
         n_mats=static["n_mats"], mtypes=static["mtypes"],
         n_light_slots=static["n_light_slots"], max_bounces=max_bounces,

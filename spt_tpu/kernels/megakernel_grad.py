@@ -97,16 +97,28 @@ def _raygen(blob_ref, pid, px, py, sample, seed, width, height, dof=False):
     return ox, oy, oz, dx, dy, dz
 
 
-def _uniforms(pid, sample, seed, k):
+def _uniforms(pid, sample, seed, k, lsb=None):
+    """Per-bounce uniforms.  With ``lsb`` (6 scalars: cell-grid lo3 +
+    ext3, read from the kernel's SMEM prefetch BEFORE any vjp region) the
+    light pick switches to the hit-cell-keyed stream (physics.LSEL_CELLS)
+    and trace_bounce draws it from the hit point; without it the legacy
+    per-pixel lsel stream is emitted."""
     def u(dim):
         return rng.counter_uniform(pid, sample,
                                    jnp.uint32(k * _NDIMS + dim), seed)
-    return dict(rr=u(_DIM_RR), u1=u(_DIM_U1), u2=u(_DIM_U2),
-                lobe=u(_DIM_LOBE), lsel=u(_DIM_LSEL), lu1=u(_DIM_LU1),
-                lu2=u(_DIM_LU2))
+    d = dict(rr=u(_DIM_RR), u1=u(_DIM_U1), u2=u(_DIM_U2),
+             lobe=u(_DIM_LOBE), lu1=u(_DIM_LU1), lu2=u(_DIM_LU2))
+    if lsb is None:
+        d["lsel"] = u(_DIM_LSEL)
+    else:
+        d["lsel_lo"] = tuple(lsb[:3])
+        d["lsel_ext"] = tuple(lsb[3:])
+        d["sample"] = sample
+        d["seed"] = seed
+    return d
 
 
-def _kernel_grad(meta_ref, blob_ref, ct_ref, rad_ref, grad_ref,
+def _kernel_grad(meta_ref, blob_ref, lsb_ref, ct_ref, rad_ref, grad_ref,
                  st_scr, aux_scr, *, n_prims, n_light_slots, mtypes, width,
                  height, max_bounces, rr_depth, use_nee, use_mis, sky_mode,
                  dof):
@@ -129,6 +141,7 @@ def _kernel_grad(meta_ref, blob_ref, ct_ref, rad_ref, grad_ref,
 
     theta, light_prims = _read_theta(meta_ref, blob_ref, n_prims,
                                      n_light_slots)
+    lsb = tuple(lsb_ref[a] for a in range(6))
 
     ox, oy, oz, dx, dy, dz = _raygen(blob_ref, pid, px, py, sample, seed,
                                      width, height, dof=dof)
@@ -148,7 +161,7 @@ def _kernel_grad(meta_ref, blob_ref, ct_ref, rad_ref, grad_ref,
             st_scr[k, i] = state[i]
         aux_scr[k, 0] = aux[0].astype(jnp.float32)
         aux_scr[k, 1] = aux[1].astype(jnp.float32)
-        u = _uniforms(pid, sample, seed, k)
+        u = _uniforms(pid, sample, seed, k, lsb)
         state, aux = physics.trace_bounce(theta, state, aux, u, nl, cfg_at(k))
 
     rad_r = jnp.where(in_image, state[9], 0.0)
@@ -179,7 +192,7 @@ def _kernel_grad(meta_ref, blob_ref, ct_ref, rad_ref, grad_ref,
     for k in reversed(range(max_bounces)):
         st_k = tuple(st_scr[k, i] for i in range(N_STATE))
         aux_k = (aux_scr[k, 0] > 0.5, aux_scr[k, 1] > 0.5)
-        u_k = _uniforms(pid, sample, seed, k)
+        u_k = _uniforms(pid, sample, seed, k, lsb)
         cfg_k = cfg_at(k)
 
         def f(th, st, aux_k=aux_k, u_k=u_k, cfg_k=cfg_k):
@@ -226,7 +239,7 @@ def _kernel_grad(meta_ref, blob_ref, ct_ref, rad_ref, grad_ref,
     static_argnames=("width", "height", "spp", "n_prims", "n_light_slots",
                      "mtypes", "max_bounces", "rr_depth", "use_nee",
                      "use_mis", "sky_mode", "dof", "interpret"))
-def _launch_grad(blob, meta, ct, *, width, height, spp, n_prims,
+def _launch_grad(blob, meta, lsb, ct, *, width, height, spp, n_prims,
                  n_light_slots, mtypes, max_bounces, rr_depth, use_nee,
                  use_mis, sky_mode, dof=False, interpret=False):
     n_pix = width * height
@@ -238,7 +251,7 @@ def _launch_grad(blob, meta, ct, *, width, height, spp, n_prims,
         sky_mode=sky_mode, dof=dof)
     n_grad = n_prims * physics.N_SPHERE_ATTRS + physics.N_SKY_ATTRS
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles, spp),
         in_specs=[pl.BlockSpec((3, TILE_ROWS, TILE_LANES),
                                lambda i, s, *refs: (0, i, 0),
@@ -264,7 +277,7 @@ def _launch_grad(blob, meta, ct, *, width, height, spp, n_prims,
             jax.ShapeDtypeStruct((n_grad,), jnp.float32),
         ),
         interpret=interpret,
-    )(meta, blob, ct)
+    )(meta, blob, lsb, ct)
     flat = rad.reshape(3, n_tiles * TILE)[:, :n_pix]
     img = jnp.moveaxis(flat, 0, -1).reshape(height, width, 3)
     return img, grads
@@ -303,8 +316,10 @@ def render_and_grad(scene, camera, width, height, start_sample, spp, *,
         ct = jnp.pad(ct, ((0, 0), (0, pad)))
         ct_flat = ct.reshape(3, n_tiles * TILE_ROWS, TILE_LANES)
 
+    lsb = physics.lsel_bounds(scene.centers, scene.radii,
+                              scene.prim_valid)
     img, gvec = _launch_grad(
-        jnp.asarray(blob), jnp.asarray(meta), ct_flat,
+        jnp.asarray(blob), jnp.asarray(meta), lsb, ct_flat,
         width=width, height=height, spp=spp, n_prims=n_prims,
         n_light_slots=len(light_prims), mtypes=tuple(mtypes),
         max_bounces=max_bounces, rr_depth=rr_depth, use_nee=bool(use_nee),

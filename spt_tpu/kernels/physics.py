@@ -35,12 +35,96 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..core import rng
 from ..core.materials import DIELECTRIC, LAMBERT, METAL
 from ..core.scene import SKY_CONSTANT, SKY_ENVMAP, SKY_GRADIENT  # noqa: F401
 
 TMIN = 1e-3
 EPS = 1e-4
 BIG = 1e30
+
+# Canonical RNG stream layout shared by every integrator (the megakernels,
+# the wavefront, integrator_jax, integrator_soa): dim = bounce * N_DIMS + D.
+N_DIMS = 8
+DIM_RR, DIM_U1, DIM_U2, DIM_LSEL, DIM_LU1, DIM_LU2, DIM_LOBE = range(7)
+
+# NEE light selection is keyed on the HIT-POINT CELL, not the pixel
+# (r4): quantize the shading point into a LSEL_CELLS^3 grid over the
+# scene's primitive bounds and draw the light index from
+# counter_uniform(cell, sample, bounce*N_DIMS+DIM_LSEL, seed).  Still a
+# pure deterministic function (replay-safe, sharding-safe, identical in
+# every backend) and still uniform over lights per (pixel, sample), so
+# the estimator stays unbiased — but all rays shading inside one cell at
+# one (sample, bounce) now target the SAME light.  That coherence is what
+# makes wavefront NEE tractable on TPU: a sorted ray tile's shadow rays
+# become one narrow cone, so the occlusion walk's scalar frustum filter
+# rejects nodes without any vector work (profiled r4: the per-lane-light
+# occlusion walk was 60-87%% of every bounce kernel's wall).  The cost is
+# cell-sized spatial correlation of direct-light noise at low spp.
+LSEL_CELLS = 16
+
+
+def lsel_bounds(centers, radii, valid):
+    """Canonical (lo3, ext3) cell-grid bounds, as one (6,) f32 array.
+
+    Min/max of c±r over prims with ``valid & r > 0`` — exact (order-free)
+    float reductions, so every backend computing this from the same scene
+    arrays gets bit-identical bounds (the parity requirement for the
+    cell-keyed light pick).  Works on jnp or np inputs.
+    """
+    c = jnp.asarray(centers, jnp.float32)
+    r = jnp.asarray(radii, jnp.float32)
+    ok = jnp.asarray(valid, bool) & (r > 0)
+    big = jnp.float32(3e38)
+    lo = jnp.min(jnp.where(ok[:, None], c - r[:, None], big), axis=0)
+    hi = jnp.max(jnp.where(ok[:, None], c + r[:, None], -big), axis=0)
+    any_ok = jnp.any(ok)
+    lo = jnp.where(any_ok, lo, 0.0)
+    ext = jnp.where(any_ok, jnp.maximum(hi - lo, 1e-5), 1.0)
+    return jnp.concatenate([lo, ext])
+
+
+def lsel_bounds_from_prims(prims):
+    """``lsel_bounds`` computed from a packed leaf-block prim table
+    ((n_blocks, 5, block): cx cy cz r mid, mid < 0 marks padding).  The
+    table holds exactly the scene's valid prims' f32 values, and min/max
+    are order-free, so this is bit-identical to the scene-array form."""
+    prims = jnp.asarray(prims, jnp.float32)
+    ok = (prims[:, 4, :] >= 0.0) & (prims[:, 3, :] > 0.0)
+    big = jnp.float32(3e38)
+    c = prims[:, 0:3, :]
+    r = prims[:, 3:4, :]
+    lo = jnp.min(jnp.where(ok[:, None, :], c - r, big), axis=(0, 2))
+    hi = jnp.max(jnp.where(ok[:, None, :], c + r, -big), axis=(0, 2))
+    any_ok = jnp.any(ok)
+    lo = jnp.where(any_ok, lo, 0.0)
+    ext = jnp.where(any_ok, jnp.maximum(hi - lo, 1e-5), 1.0)
+    return jnp.concatenate([lo, ext])
+
+
+def lsel_cell(hx, hy, hz, lo3, ext3):
+    """Quantized shading-point cell id (u32) — the light pick's stream key."""
+    n = jnp.float32(LSEL_CELLS)
+    cell = None
+    for h, l, e in zip((hx, hy, hz), lo3, ext3):
+        q = jnp.clip((h - l) * (n / e), 0.0, n - 1.0).astype(jnp.int32)
+        cell = q if cell is None else cell * LSEL_CELLS + q
+    return cell.astype(jnp.uint32)
+
+
+def lsel_uniform(kx, ky, kz, u, k):
+    """The cell-keyed light-selection uniform (see LSEL_CELLS).
+
+    Key point convention (identical in every backend): the HIT point at
+    bounce 0 (camera tiles are hit-coherent; origin-keying would give the
+    whole image one light per sample), the RAY ORIGIN at bounces >= 1 —
+    which is the previous hit point, and exactly the cell the wavefront's
+    coherence sort bins by (same 16-cell grid over the same bounds), so a
+    sorted ray tile shares its light pick and its shadow rays form one
+    narrow cullable cone."""
+    cell = lsel_cell(kx, ky, kz, u["lsel_lo"], u["lsel_ext"])
+    dim = jnp.uint32(jnp.asarray(k, jnp.uint32) * N_DIMS + DIM_LSEL)
+    return rng.counter_uniform(cell, u["sample"], dim, u["seed"])
 
 N_SPHERE_ATTRS = 12   # cx cy cz r  ar ag ab  er eg eb  rough ior
 N_LIGHT_ATTRS = 7     # cx cy cz r  er eg eb
@@ -181,6 +265,73 @@ def occluded_unrolled(spheres, ox, oy, oz, dx, dy, dz, tmax):
         tj = jnp.where(t0 > TMIN, t0, t1)
         blocked = blocked | (pos & (tj > TMIN) & (tj < tmax))
     return blocked
+
+
+def nee_shadow_setup(ox, oy, oz, hx, hy, hz, nsx, nsy, nsz, u, lights, nl,
+                     nlf, k):
+    """Light pick + sphere-cone sample + shadow-ray construction.
+
+    Shared VERBATIM between ``trace_bounce`` and the split-bounce
+    wavefront's XLA glue (wavefront._shadow_rays_xla): the glue preculls
+    exactly the ray the shade kernel will re-derive, so both must run the
+    same float ops on the same inputs.  ``lights`` is a tuple of 7-scalar
+    tuples — in-kernel SMEM scalars and XLA 0-d arrays both fit.
+
+    Returns (pox, poy, poz, ldx, ldy, ldz, t_l, pdf_l, inside_l,
+    ler, leg, leb).
+    """
+    if "lsel_lo" in u:
+        if k == 0:
+            ul = lsel_uniform(hx, hy, hz, u, k)
+        else:   # (ox, oy, oz) hold the bounce's INPUT ray origins
+            ul = lsel_uniform(ox, oy, oz, u, k)
+    else:
+        ul = u["lsel"]   # legacy per-pixel stream (small fallbacks)
+    lu1, lu2 = u["lu1"], u["lu2"]
+    li = jnp.minimum((ul * nlf).astype(jnp.int32), nl - 1)
+    zero = jnp.zeros_like(ox)
+    lcx, lcy, lcz, lrr = zero, zero, zero, zero
+    ler, leg, leb = zero, zero, zero
+    for l, lat in enumerate(lights):
+        sel = (li == l) & (l < nl)
+        lcx = jnp.where(sel, lat[0], lcx)
+        lcy = jnp.where(sel, lat[1], lcy)
+        lcz = jnp.where(sel, lat[2], lcz)
+        lrr = jnp.where(sel, lat[3], lrr)
+        ler = jnp.where(sel, lat[4], ler)
+        leg = jnp.where(sel, lat[5], leg)
+        leb = jnp.where(sel, lat[6], leb)
+    pox = hx + EPS * nsx
+    poy = hy + EPS * nsy
+    poz = hz + EPS * nsz
+    tocx, tocy, tocz = lcx - pox, lcy - poy, lcz - poz
+    d2 = jnp.maximum(_dot(tocx, tocy, tocz, tocx, tocy, tocz), 1e-12)
+    dist = jnp.sqrt(d2)
+    inside_l = dist <= lrr
+    sin2m = jnp.clip(lrr * lrr / d2, 0.0, 1.0)
+    degm = sin2m >= 1.0
+    cosm_l = jnp.where(degm, 0.0,
+                       jnp.sqrt(jnp.where(degm, 1.0, 1.0 - sin2m)))
+    ctl = 1.0 - lu1 * (1.0 - cosm_l)
+    # Same sqrt'(0) hazard as sth: ctl == 1 at lu1 == 0 and ctl depends
+    # on light geometry.
+    stl = jnp.sqrt(jnp.maximum(1.0 - ctl * ctl, 1e-12))
+    phil = (2.0 * math.pi) * lu2
+    wlx, wly, wlz = tocx / dist, tocy / dist, tocz / dist
+    ltx, lty, ltz, lbx, lby, lbz = _onb(wlx, wly, wlz)
+    cpl = jnp.cos(phil)
+    spl = jnp.sin(phil)
+    ldx = stl * cpl * ltx + stl * spl * lbx + ctl * wlx
+    ldy = stl * cpl * lty + stl * spl * lby + ctl * wly
+    ldz = stl * cpl * ltz + stl * spl * lbz + ctl * wlz
+    pdf_l = 1.0 / jnp.maximum(2.0 * math.pi * (1.0 - cosm_l), 1e-9)
+    pdf_l = pdf_l / nlf
+    bl = _dot(ldx, ldy, ldz, tocx, tocy, tocz)
+    cl = _dot(tocx, tocy, tocz, tocx, tocy, tocz) - lrr * lrr
+    discl = jnp.maximum(bl * bl - cl, 0.0)
+    t_l = bl - jnp.sqrt(jnp.maximum(discl, 1e-20))
+    return (pox, poy, poz, ldx, ldy, ldz, t_l, pdf_l, inside_l,
+            ler, leg, leb)
 
 
 def trace_bounce(theta, state, aux, u, nl, cfg: BounceCfg,
@@ -345,49 +496,10 @@ def trace_bounce(theta, state, aux, u, nl, cfg: BounceCfg,
 
     # -- next-event estimation ---------------------------------------------
     if use_nee:
-        ul, lu1, lu2 = u["lsel"], u["lu1"], u["lu2"]
-        li = jnp.minimum((ul * nlf).astype(jnp.int32), nl - 1)
-        zero = jnp.zeros_like(ox)
-        lcx, lcy, lcz, lrr = zero, zero, zero, zero
-        ler, leg, leb = zero, zero, zero
-        for l, lat in enumerate(lights):
-            sel = (li == l) & (l < nl)
-            lcx = jnp.where(sel, lat[0], lcx)
-            lcy = jnp.where(sel, lat[1], lcy)
-            lcz = jnp.where(sel, lat[2], lcz)
-            lrr = jnp.where(sel, lat[3], lrr)
-            ler = jnp.where(sel, lat[4], ler)
-            leg = jnp.where(sel, lat[5], leg)
-            leb = jnp.where(sel, lat[6], leb)
-        pox = hx + EPS * nsx
-        poy = hy + EPS * nsy
-        poz = hz + EPS * nsz
-        tocx, tocy, tocz = lcx - pox, lcy - poy, lcz - poz
-        d2 = jnp.maximum(_dot(tocx, tocy, tocz, tocx, tocy, tocz), 1e-12)
-        dist = jnp.sqrt(d2)
-        inside_l = dist <= lrr
-        sin2m = jnp.clip(lrr * lrr / d2, 0.0, 1.0)
-        degm = sin2m >= 1.0
-        cosm_l = jnp.where(degm, 0.0,
-                           jnp.sqrt(jnp.where(degm, 1.0, 1.0 - sin2m)))
-        ctl = 1.0 - lu1 * (1.0 - cosm_l)
-        # Same sqrt'(0) hazard as sth: ctl == 1 at lu1 == 0 and ctl depends
-        # on light geometry.
-        stl = jnp.sqrt(jnp.maximum(1.0 - ctl * ctl, 1e-12))
-        phil = (2.0 * math.pi) * lu2
-        wlx, wly, wlz = tocx / dist, tocy / dist, tocz / dist
-        ltx, lty, ltz, lbx, lby, lbz = _onb(wlx, wly, wlz)
-        cpl = jnp.cos(phil)
-        spl = jnp.sin(phil)
-        ldx = stl * cpl * ltx + stl * spl * lbx + ctl * wlx
-        ldy = stl * cpl * lty + stl * spl * lby + ctl * wly
-        ldz = stl * cpl * ltz + stl * spl * lbz + ctl * wlz
-        pdf_l = 1.0 / jnp.maximum(2.0 * math.pi * (1.0 - cosm_l), 1e-9)
-        pdf_l = pdf_l / nlf
-        bl = _dot(ldx, ldy, ldz, tocx, tocy, tocz)
-        cl = _dot(tocx, tocy, tocz, tocx, tocy, tocz) - lrr * lrr
-        discl = jnp.maximum(bl * bl - cl, 0.0)
-        t_l = bl - jnp.sqrt(jnp.maximum(discl, 1e-20))
+        ns = nee_shadow_setup(ox, oy, oz, hx, hy, hz, nsx, nsy, nsz, u,
+                              lights, nl, nlf, k)
+        (pox, poy, poz, ldx, ldy, ldz, t_l, pdf_l, inside_l,
+         ler, leg, leb) = ns
         if occluded_fn is None:
             blocked = occluded_unrolled(spheres, pox, poy, poz, ldx, ldy,
                                         ldz, t_l - 1e-3)

@@ -91,9 +91,12 @@ from ..core import rng
 from ..core.scene import SceneData
 from . import physics
 from .megakernel import _SKY_OFF
+from ..core.materials import DIELECTRIC
 from .megakernel_bvh import (BIG, BLOCK, TMIN, _MAT_OFF, _MAT_STRIDE, TILE,
                              TILE_LANES, TILE_ROWS, TW, TH,
+                             _cand_sweep_anyhit, _cand_sweep_nearest,
                              _make_intersectors, _packed)
+from .megakernel_bvh_grad import _read_mats, _rebuilt_intersect
 from .megakernel_grad import _raygen, _uniforms
 
 # State-tensor channel layout (all f32).
@@ -194,10 +197,11 @@ def _raygen_kernel(meta_ref, blob_ref, st_ref, ids_ref, *, width, height,
     ids_ref[1] = sample.astype(jnp.int32)
 
 
-def _bounce_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
-                   cand_ref, ctn_ref, st_ref, ids_ref, out_ref, blk_scr, *,
-                   k, n_nodes, block, n_mats, mtypes, n_light_slots,
-                   rr_depth, use_nee, use_mis, sky_mode, precull, tcull):
+def _bounce_kernel(meta_ref, blob_ref, lsb_ref, nodef_ref, nodei_ref,
+                   prim_ref, cand_ref, ctn_ref, st_ref, ids_ref, out_ref,
+                   blk_scr, *, k, n_nodes, block, n_mats, mtypes,
+                   n_light_slots, rr_depth, use_nee, use_mis, sky_mode,
+                   precull, tcull):
     seed = meta_ref[1].astype(jnp.uint32)
     nl = meta_ref[2]
     # Grid steps past the alive-prefix boundary read AND write the pad tile
@@ -247,7 +251,8 @@ def _bounce_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
             cand=((cand_ref, ctn_ref, n_blocks) if precull else None),
             tcull=tcull)
 
-        u = _uniforms(pid, sample, seed, k)
+        u = _uniforms(pid, sample, seed, k,
+                      tuple(lsb_ref[a] for a in range(6)))
         want_miss = sky_mode == physics.SKY_ENVMAP
         cfg = physics.BounceCfg(
             mtypes=(), k=k, rr_depth=rr_depth, use_nee=use_nee,
@@ -291,69 +296,72 @@ def _leaf_block_bounds(prims):
     return lo, hi
 
 
-def _precull(st, lob, hib, n_tiles):
-    """Exact per-lane AABB precull -> nearest-first candidate lists.
+def _precull_rays(o3, d3, act, tmax, lob, hib, n_tiles):
+    """Per-ray slab precull of arbitrary rays -> per-tile candidate lists.
 
-    For every (8, 128) ray tile, slab-test each of its 1024 rays against
-    every leaf-block AABB in plain XLA (pure VPU throughput, ~30 flops per
-    (ray, block) pair, no scalar-unit syncs anywhere) and aggregate per
-    tile: a block is a candidate iff ANY live lane's slab interval is
-    non-empty — exactly the per-lane test the in-kernel walk would have
-    done at the leaf, so culling is never worse than the walk's, and
-    usually better (the walk's packet-level any() keeps a leaf whenever
-    one lane hits; so does this — but the walk also descends internal
-    nodes serially to find out, paying a vector->scalar sync per node).
-
-    Returns
-      cand (n_tiles + 1, max_cand + 1) i32 — [t, 0] = count, [t, 1:] =
-          block ids sorted by ``ctn`` (nearest first); row n_tiles (the
-          compaction pad tile) is empty.
-      ctn  (n_tiles + 1, max_cand) f32 — lower bound on any hit t in the
-          matching candidate (min over hitting lanes of AABB entry t,
-          clamped >= 0), BIG past the count.  Nondecreasing per row — the
-          kernel's early-exit contract (_cand_sweep_nearest).
+    Generalized core of ``_precull``: ``o3``/``d3`` are 3-tuples of
+    (rows, 128) components, ``act`` a (rows, 128) 0/1 mask, ``tmax`` an
+    optional (rows, 128) per-ray upper bound (the SHADOW precull's light
+    distance — it makes shadow lists far tighter than the nearest-hit
+    lists, whose bound is unknown before intersection).  Returns
+    (cand, ctn) in the kernel SMEM layout (see ``_precull``).
     """
     nb = lob.shape[0]
-    n_rows = (n_tiles + 1) * TILE_ROWS
     chunk = PRECULL_TILE_CHUNK
     n_chunks = -(-(n_tiles + 1) // chunk)
     pad_tiles = n_chunks * chunk - (n_tiles + 1)
+    big = jnp.float32(BIG)
 
-    def grab(c):
-        v = st[c].reshape(n_rows // TILE_ROWS, TILE)
+    def grab(v):
+        v = v.reshape(-1, TILE)
         if pad_tiles:
             v = jnp.pad(v, ((0, pad_tiles), (0, 0)))
         return v.reshape(n_chunks, chunk, TILE)
 
-    ox, oy, oz = grab(C_OX), grab(C_OY), grab(C_OZ)
-    dx, dy, dz = grab(C_DX), grab(C_DY), grab(C_DZ)
-    alive = grab(C_ALIVE)
-    big = jnp.float32(BIG)
+    o3 = tuple(grab(v) for v in o3)
+    d3 = tuple(grab(v) for v in d3)
+    act = grab(act)
+    tmax = grab(tmax) if tmax is not None else None
 
     def one_chunk(args):
-        o3, d3, act = args
-        tn = jnp.full((chunk, TILE, nb), -big)
-        tf = jnp.full((chunk, TILE, nb), big)
-        for a in range(3):
-            o = o3[a][:, :, None]
-            iv = jnp.where(jnp.abs(d3[a]) > 1e-20,
-                           1.0 / jnp.where(jnp.abs(d3[a]) > 1e-20,
-                                           d3[a], 1.0),
-                           jnp.float32(3e38))[:, :, None]
-            t0 = (lob[None, None, :, a] - o) * iv
-            t1 = (hib[None, None, :, a] - o) * iv
-            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        hit = (tn <= tf) & (tf > TMIN) & (act[:, :, None] > 0.5)
-        tnc = jnp.where(hit, jnp.maximum(tn, 0.0), big)
-        tile_tn = jnp.min(tnc, axis=1)                  # (chunk, nb)
-        order = jnp.argsort(tile_tn, axis=-1)
-        s_tn = jnp.take_along_axis(tile_tn, order, axis=-1)
-        n_cand = jnp.sum((tile_tn < big).astype(jnp.int32), axis=-1)
-        ids = jnp.where(s_tn < big, order.astype(jnp.int32), -1)
-        return jnp.concatenate([n_cand[:, None], ids], axis=1), s_tn
+        def live(args):
+            o3, d3, act, tm = args
+            tn = jnp.full((chunk, TILE, nb), -big)
+            tf = jnp.full((chunk, TILE, nb), big)
+            for a in range(3):
+                o = o3[a][:, :, None]
+                iv = jnp.where(jnp.abs(d3[a]) > 1e-20,
+                               1.0 / jnp.where(jnp.abs(d3[a]) > 1e-20,
+                                               d3[a], 1.0),
+                               jnp.float32(3e38))[:, :, None]
+                t0 = (lob[None, None, :, a] - o) * iv
+                t1 = (hib[None, None, :, a] - o) * iv
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            hit = (tn <= tf) & (tf > TMIN) & (act[:, :, None] > 0.5)
+            if tm is not None:
+                hit = hit & (tn < tm[:, :, None])
+            tnc = jnp.where(hit, jnp.maximum(tn, 0.0), big)
+            tile_tn = jnp.min(tnc, axis=1)                  # (chunk, nb)
+            order = jnp.argsort(tile_tn, axis=-1)
+            s_tn = jnp.take_along_axis(tile_tn, order, axis=-1)
+            n_cand = jnp.sum((tile_tn < big).astype(jnp.int32), axis=-1)
+            ids = jnp.where(s_tn < big, order.astype(jnp.int32), -1)
+            return jnp.concatenate([n_cand[:, None], ids], axis=1), s_tn
 
-    cand, ctn = jax.lax.map(one_chunk, ((ox, oy, oz), (dx, dy, dz), alive))
+        def dead(args):
+            return (jnp.concatenate(
+                [jnp.zeros((chunk, 1), jnp.int32),
+                 jnp.full((chunk, nb), -1, jnp.int32)], axis=1),
+                jnp.full((chunk, nb), big))
+
+        # Post-compaction, whole chunks of tiles are dead (the sorted
+        # suffix); the slab-test block is the precull's entire cost, so
+        # skip it where nothing is alive — precull cost tracks the alive
+        # population like the kernel's redirect does.
+        return jax.lax.cond(jnp.any(args[2] > 0.5), live, dead, args)
+
+    cand, ctn = jax.lax.map(one_chunk, (o3, d3, act, tmax))
     cand = cand.reshape(n_chunks * chunk, nb + 1)[:n_tiles + 1]
     ctn = ctn.reshape(n_chunks * chunk, nb)[:n_tiles + 1]
     # Pad tile: empty list (its grid steps are skipped anyway).
@@ -364,6 +372,200 @@ def _precull(st, lob, hib, n_tiles):
     # two BLOCK dims to divide (8, 128) or equal the full dim — a
     # middle singleton + full trailing dim satisfies it for any nb.
     return cand[:, None, :], ctn[:, None, :]
+
+
+def _precull(st, lob, hib, n_tiles):
+    """Exact per-lane AABB precull of the stream's NEXT-bounce rays.
+
+    For every (8, 128) ray tile, slab-test each of its 1024 rays against
+    every leaf-block AABB in plain XLA (pure VPU throughput, ~30 flops per
+    (ray, block) pair, no scalar-unit syncs anywhere) and aggregate per
+    tile: a block is a candidate iff ANY live lane's slab interval is
+    non-empty — exactly the per-lane test the in-kernel walk would have
+    done at the leaf, so culling is never worse than the walk's (which
+    also paid a vector->scalar sync per internal node to find out).
+
+    Returns
+      cand (n_tiles + 1, 1, max_cand + 1) i32 — [t, 0, 0] = count,
+          [t, 0, 1:] = block ids sorted nearest-first by ``ctn``; row
+          n_tiles (the compaction pad tile) is empty.
+      ctn  (n_tiles + 1, 1, max_cand) f32 — lower bound on any hit t in
+          the matching candidate (min over hitting lanes of AABB entry t,
+          clamped >= 0), BIG past the count.  Nondecreasing per row — the
+          kernel's early-exit contract (_cand_sweep_nearest).
+    """
+    return _precull_rays((st[C_OX], st[C_OY], st[C_OZ]),
+                         (st[C_DX], st[C_DY], st[C_DZ]),
+                         st[C_ALIVE], None, lob, hib, n_tiles)
+
+
+def _shadow_rays_xla(st, ids, res, blob, lsb, nl, *, k, seed, n_mats,
+                     mtypes, n_light_slots):
+    """Reconstruct every lane's NEE shadow ray in XLA from the intersect
+    kernel's winner residuals — the split-bounce midpoint.
+
+    Re-derives the hit point exactly as the shade kernel will (the same
+    sphere quadratic on the same f32 winner, the same shading-normal
+    flip), then runs the SAME ``physics.nee_shadow_setup`` the kernel
+    runs — identical RNG streams (pid/sample ride in ``ids``), identical
+    float ops — so the shadow precull covers exactly the rays the kernel
+    tests.  Stale suffix rows are harmless: ``need`` is gated on the
+    (always-valid, aliased) alive flag, and every garbage-fed value dies
+    in a ``where`` against it.
+
+    Returns (o3, d3, tmax, need01) for ``_precull_rays``.
+    """
+    alive = st[C_ALIVE] > 0.5
+    ox, oy, oz = st[C_OX], st[C_OY], st[C_OZ]
+    dx, dy, dz = st[C_DX], st[C_DY], st[C_DZ]
+    hcx, hcy, hcz, hr, hmid = res[0], res[1], res[2], res[3], res[4]
+    hit = alive & (hmid >= 0.0)
+
+    # Winner-sphere t, exactly the sweep's formula on the same inputs.
+    ocx, ocy, ocz = hcx - ox, hcy - oy, hcz - oz
+    b = dx * ocx + dy * ocy + dz * ocz
+    cterm = ocx * ocx + ocy * ocy + ocz * ocz - hr * hr
+    disc = b * b - cterm
+    pos = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(jnp.where(pos, disc, 1.0), 1e-12))
+    t = jnp.where(b - sq > TMIN, b - sq, b + sq)
+
+    t_safe = jnp.where(hit, t, 1.0)
+    hx = ox + t_safe * dx
+    hy = oy + t_safe * dy
+    hz = oz + t_safe * dz
+    ngx, ngy, ngz = physics._normalize(hx - hcx, hy - hcy, hz - hcz)
+    wox, woy, woz = -dx, -dy, -dz
+    front = wox * ngx + woy * ngy + woz * ngz > 0.0
+    sgn = jnp.where(front, 1.0, -1.0)
+    nsx, nsy, nsz = ngx * sgn, ngy * sgn, ngz * sgn
+
+    mt = jnp.asarray(mtypes + (0,), jnp.int32)[
+        jnp.clip(hmid.astype(jnp.int32), 0, max(n_mats, 1))]
+    spec_new = hit & (mt == DIELECTRIC)
+    need = hit & ~spec_new
+
+    pid = ids[0].astype(jnp.uint32)
+    sample = ids[1].astype(jnp.uint32)
+    u = _uniforms(pid, sample, jnp.asarray(seed, jnp.uint32), k,
+                  (lsb[0], lsb[1], lsb[2], lsb[3], lsb[4], lsb[5]))
+    light_off = _MAT_OFF + _MAT_STRIDE * n_mats
+    lights = tuple(
+        tuple(blob[light_off + 7 * l + a] for a in range(7))
+        for l in range(n_light_slots))
+    nlf = jnp.maximum(nl.astype(jnp.float32), 1.0)
+    (pox, poy, poz, ldx, ldy, ldz, t_l, _pdf_l, _inside,
+     _ler, _leg, _leb) = physics.nee_shadow_setup(
+        ox, oy, oz, hx, hy, hz, nsx, nsy, nsz, u, lights, nl, nlf, k)
+    return ((pox, poy, poz), (ldx, ldy, ldz), t_l - 1e-3,
+            need.astype(jnp.float32))
+
+
+def _isect_kernel(meta_ref, prim_ref, cand_ref, ctn_ref, st_ref, res_ref, *,
+                  block, tcull):
+    """Split-bounce phase 1: nearest-hit candidate sweep -> winner record.
+
+    Writes the same 8-channel residual row the grad kernels use (hcx hcy
+    hcz hr hmid hblk hslot, ch7 spare).  Skipped/dead tiles flush hmid=-1
+    rows so downstream consumers never see a stale winner (the alive flag
+    in the aliased state tensor is the authoritative gate anyway).
+    """
+    in_region = pl.program_id(0) < meta_ref[3]
+    alive = st_ref[C_ALIVE] > 0.5
+    zeros = jnp.zeros_like(st_ref[C_ALIVE])
+    run = in_region & jnp.any(alive)
+
+    @pl.when(jnp.logical_not(run))
+    def _():
+        for c in range(8):
+            res_ref[c] = zeros
+        res_ref[4] = zeros - 1.0
+
+    @pl.when(run)
+    def _():
+        n_blocks = prim_ref.shape[0]
+        out = _cand_sweep_nearest(
+            prim_ref, cand_ref, ctn_ref, st_ref[C_OX], st_ref[C_OY],
+            st_ref[C_OZ], st_ref[C_DX], st_ref[C_DY], st_ref[C_DZ],
+            alive, block, n_blocks, with_ids=True, tcull=tcull)
+        t = out[0]
+        for c, v in enumerate(out[1:]):   # hcx hcy hcz hr hmid hblk hslot
+            res_ref[c] = v
+        res_ref[4] = jnp.where(t < jnp.float32(BIG), res_ref[4], -1.0)
+        res_ref[7] = zeros
+
+
+def _shade_kernel(meta_ref, blob_ref, lsb_ref, prim_ref, scand_ref, st_ref,
+                  ids_ref, res_ref, out_ref, *, k, block, n_mats, mtypes,
+                  n_light_slots, rr_depth, use_nee, use_mis, sky_mode):
+    """Split-bounce phase 2: shading with a rebuilt intersector.
+
+    No traversal anywhere: the nearest hit is re-derived from the winner
+    residuals (megakernel_bvh_grad._rebuilt_intersect — the exact pattern
+    the backward replay uses), and NEE occlusion sweeps the XLA shadow
+    precull's per-tile list (_cand_sweep_anyhit).
+    """
+    seed = meta_ref[1].astype(jnp.uint32)
+    nl = meta_ref[2]
+    in_region = pl.program_id(0) < meta_ref[3]
+    alive = st_ref[C_ALIVE] > 0.5
+    any_alive = jnp.any(alive)
+
+    @pl.when(jnp.logical_not(in_region))
+    def _():
+        zeros = jnp.zeros_like(st_ref[C_ALIVE])
+        out_ref[C_ALIVE] = zeros
+        out_ref[C_INIMG] = zeros
+        out_ref[C_MISS] = zeros
+
+    @pl.when(in_region & jnp.logical_not(any_alive))
+    def _():
+        for c in range(N_CH):
+            out_ref[c] = st_ref[c]
+        out_ref[C_MISS] = jnp.zeros_like(st_ref[C_MISS])
+
+    @pl.when(in_region & any_alive)
+    def _():
+        pid = ids_ref[0].astype(jnp.uint32)
+        sample = ids_ref[1].astype(jnp.uint32)
+        state = tuple(st_ref[c] for c in range(C_PDF + 1))
+        aux = (alive, st_ref[C_SPEC] > 0.5)
+
+        sky = tuple(blob_ref[_SKY_OFF + a]
+                    for a in range(physics.N_SKY_ATTRS))
+        light_off = _MAT_OFF + _MAT_STRIDE * n_mats
+        lights = tuple(
+            tuple(blob_ref[light_off + 7 * l + a] for a in range(7))
+            for l in range(n_light_slots))
+        theta = ((), sky, lights)
+
+        mats = _read_mats(blob_ref, n_mats)
+        intersect_fn = _rebuilt_intersect(
+            mats, mtypes, res_ref[0], res_ref[1], res_ref[2], res_ref[3],
+            res_ref[4])
+
+        def occluded_fn(pox, poy, poz, ldx, ldy, ldz, tmax, need):
+            return _cand_sweep_anyhit(prim_ref, scand_ref, pox, poy, poz,
+                                      ldx, ldy, ldz, need, tmax, block)
+
+        u = _uniforms(pid, sample, seed, k,
+                      tuple(lsb_ref[a] for a in range(6)))
+        want_miss = sky_mode == physics.SKY_ENVMAP
+        cfg = physics.BounceCfg(
+            mtypes=(), k=k, rr_depth=rr_depth, use_nee=use_nee,
+            use_mis=use_mis, sky_mode=sky_mode,
+            n_light_slots=n_light_slots, want_miss=want_miss)
+        state, aux = physics.trace_bounce(
+            theta, state, aux, u, nl, cfg,
+            intersect_fn=intersect_fn, occluded_fn=occluded_fn)
+
+        for c, v in enumerate(state):
+            out_ref[c] = v
+        out_ref[C_ALIVE] = aux[0].astype(jnp.float32)
+        out_ref[C_SPEC] = aux[1].astype(jnp.float32)
+        out_ref[C_INIMG] = st_ref[C_INIMG]
+        out_ref[C_MISS] = (aux[2].astype(jnp.float32) if want_miss
+                           else jnp.zeros_like(st_ref[C_MISS]))
 
 
 # ---------------------------------------------------------------------------
@@ -562,13 +764,16 @@ def _scatter_image(st, ids, width, height):
                      "mtypes", "n_light_slots", "max_bounces", "rr_depth",
                      "use_nee", "use_mis", "sky_mode", "dof", "sort_every",
                      "qbits", "dir_major", "dbits", "rowsort", "compact",
-                     "precull", "tcull", "interpret"))
-def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
-                      chunk_spp, block, n_mats, mtypes, n_light_slots,
+                     "precull", "tcull", "split", "sort_min_rays",
+                     "interpret"))
+def _launch_wavefront(blob, meta, lsb, nodef, nodei, prims, env, *, width,
+                      height, chunk_spp, block, n_mats, mtypes,
+                      n_light_slots,
                       max_bounces, rr_depth, use_nee, use_mis, sky_mode,
                       dof=False, sort_every=1, qbits=Q_BITS, dir_major=False,
                       dbits=D_BITS, rowsort=False, compact=True,
-                      precull=True, tcull=True, interpret=False):
+                      precull=True, tcull=True, split=True, sort_min_rays=0,
+                      interpret=False):
     n_nodes = nodef.shape[0] // 8   # 8 stacked octant tables
     n_blocks = prims.shape[0]
     st, ids, n_tiles = _raygen_launch(
@@ -576,7 +781,7 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
         dof=dof, interpret=interpret)
     n_rows = (n_tiles + 1) * TILE_ROWS
     lo, ext = _scene_sort_bounds(nodef)
-    if precull:
+    if precull or split:
         lob, hib = _leaf_block_bounds(prims)
 
     def _redirect(i, m, *r):
@@ -590,11 +795,95 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
     nalive = jnp.int32(n_tiles)
     for k in range(max_bounces):
         if sort_every and k and (k - 1) % sort_every == 0:
-            st, ids, na = _sort_rays(st, ids, lo, ext, qbits, dir_major,
-                                     dbits, rowsort)
+            # Re-sorting pays off only while enough rays are alive: the
+            # variadic sort costs ~full-stream regardless of aliveness,
+            # while the kernel's cost already tracks the alive prefix.
+            # Below ``sort_min_rays`` keep the previous order/boundary
+            # (still conservative-correct: rays die monotonically, so the
+            # old prefix remains a superset of the alive set).
+            def do_sort(ops):
+                return _sort_rays(ops[0], ops[1], lo, ext, qbits,
+                                  dir_major, dbits, rowsort)
+
+            def no_sort(ops):
+                return ops[0], ops[1], nalive
+
+            st, ids, na = jax.lax.cond(
+                nalive * TILE > sort_min_rays, do_sort, no_sort, (st, ids))
             if compact:
                 nalive = na
         meta4 = jnp.concatenate([meta[:3], nalive.reshape(1)])
+        if split:
+            # --- split bounce: intersect kernel -> XLA shadow construct
+            # + shadow precull -> walk-free shade kernel ----------------
+            cand, ctn = _precull(st, lob, hib, n_tiles)
+            res = pl.pallas_call(
+                functools.partial(_isect_kernel, block=block, tcull=tcull),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(n_tiles,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.VMEM),   # prims
+                        pl.BlockSpec((1, 1, n_blocks + 1), _redirect2,
+                                     memory_space=pltpu.SMEM),
+                        pl.BlockSpec((1, 1, n_blocks), _redirect2,
+                                     memory_space=pltpu.SMEM),
+                        pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
+                                     _redirect, memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((8, TILE_ROWS, TILE_LANES),
+                                           _redirect,
+                                           memory_space=pltpu.VMEM),
+                ),
+                out_shape=jax.ShapeDtypeStruct((8, n_rows, TILE_LANES),
+                                               jnp.float32),
+                interpret=interpret,
+            )(meta4, prims, cand, ctn, st)
+            if use_nee and n_light_slots:
+                so3, sd3, stmax, sneed = _shadow_rays_xla(
+                    st, ids, res, blob, lsb, meta[2], k=k, seed=meta[1],
+                    n_mats=n_mats, mtypes=mtypes,
+                    n_light_slots=n_light_slots)
+                scand, _sctn = _precull_rays(so3, sd3, sneed, stmax, lob,
+                                             hib, n_tiles)
+            else:
+                scand = jnp.zeros((1, 1, 1), jnp.int32)
+            sc_spec = (pl.BlockSpec((1, 1, n_blocks + 1), _redirect2,
+                                    memory_space=pltpu.SMEM)
+                       if (use_nee and n_light_slots) else
+                       pl.BlockSpec((1, 1, 1), lambda i, m, *r: (0, 0, 0),
+                                    memory_space=pltpu.SMEM))
+            st = pl.pallas_call(
+                functools.partial(
+                    _shade_kernel, k=k, block=block, n_mats=n_mats,
+                    mtypes=mtypes, n_light_slots=n_light_slots,
+                    rr_depth=rr_depth, use_nee=use_nee, use_mis=use_mis,
+                    sky_mode=sky_mode),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=3,
+                    grid=(n_tiles,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.VMEM),   # prims
+                        sc_spec,
+                        pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
+                                     _redirect, memory_space=pltpu.VMEM),
+                        pl.BlockSpec((2, TILE_ROWS, TILE_LANES),
+                                     _redirect, memory_space=pltpu.VMEM),
+                        pl.BlockSpec((8, TILE_ROWS, TILE_LANES),
+                                     _redirect, memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
+                                           _redirect,
+                                           memory_space=pltpu.VMEM),
+                ),
+                out_shape=jax.ShapeDtypeStruct((N_CH, n_rows, TILE_LANES),
+                                               jnp.float32),
+                input_output_aliases={5: 0},
+                interpret=interpret,
+            )(meta4, blob, lsb, prims, scand, st, ids, res)
+            if sky_mode == physics.SKY_ENVMAP:
+                st = _add_env_radiance(st, env)
+            continue
         if precull:
             cand, ctn = _precull(st, lob, hib, n_tiles)
             cand_specs = [
@@ -621,7 +910,7 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
                 rr_depth=rr_depth, use_nee=use_nee, use_mis=use_mis,
                 sky_mode=sky_mode, precull=precull, tcull=tcull),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=(n_tiles,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # nodef
@@ -642,9 +931,9 @@ def _launch_wavefront(blob, meta, nodef, nodei, prims, env, *, width, height,
                                            jnp.float32),
             # st rides through aliased: the dead suffix past the boundary
             # is preserved in place without ever being copied.
-            input_output_aliases={7: 0},
+            input_output_aliases={8: 0},
             interpret=interpret,
-        )(meta4, blob, nodef, nodei, prims, *cand_args, st, ids)
+        )(meta4, blob, lsb, nodef, nodei, prims, *cand_args, st, ids)
         if sky_mode == physics.SKY_ENVMAP:
             st = _add_env_radiance(st, env)
 
@@ -658,8 +947,9 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
                      qbits: int = Q_BITS, dir_major: bool = True,
                      dbits: int = D_BITS, rowsort: bool = False,
                      compact: bool = True, precull: bool = True,
-                     tcull: bool = True, chunk_rays: int = 4 << 20,
-                     interpret=False):
+                     tcull: bool = True, split: bool = True,
+                     sort_min_rays: int = 1 << 17,
+                     chunk_rays: int = 4 << 20, interpret=False):
     """Render ``spp`` samples sorted-wavefront style; (H,W,3) radiance sum.
 
     Semantics and RNG streams are identical to ``megakernel_bvh.
@@ -668,6 +958,7 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
     measurement); ``chunk_rays`` bounds the in-flight ray stream.
     """
     blob, meta3, nodef, nodei, prims, static = _packed(scene, camera, block)
+    lsb = physics.lsel_bounds_from_prims(prims)
     if dof is None:
         dof = bool(blob[13] > 0.0)
     env = scene.env_map
@@ -682,7 +973,8 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
         n = min(chunk_spp, spp - s)
         meta = jnp.asarray([start_sample + s, seed, int(meta3[2])], np.int32)
         part = _launch_wavefront(
-            blob, meta, nodef, nodei, prims, env, width=width, height=height,
+            blob, meta, lsb, nodef, nodei, prims, env, width=width,
+            height=height,
             chunk_spp=n, block=static["block"], n_mats=static["n_mats"],
             mtypes=static["mtypes"], n_light_slots=static["n_light_slots"],
             max_bounces=max_bounces, rr_depth=rr_depth,
@@ -691,8 +983,8 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
             sort_every=int(sort_every), qbits=int(qbits),
             dir_major=bool(dir_major), dbits=int(dbits),
             rowsort=bool(rowsort), compact=bool(compact),
-            precull=bool(precull), tcull=bool(tcull),
-            interpret=interpret)
+            precull=bool(precull), tcull=bool(tcull), split=bool(split),
+            sort_min_rays=int(sort_min_rays), interpret=interpret)
         img = part if img is None else img + part
         s += n
     return img

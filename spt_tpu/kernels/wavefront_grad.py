@@ -82,11 +82,11 @@ N_STATE = 13    # differentiable state channels (o, d, th, rad, pdf)
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _bounce_fwd_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
-                       cand_ref, ctn_ref, st_ref, ids_ref, out_ref, res_ref,
-                       blk_scr, *, k, n_nodes, block, n_mats, mtypes,
-                       n_light_slots, rr_depth, use_nee, use_mis, sky_mode,
-                       precull, tcull):
+def _bounce_fwd_kernel(meta_ref, blob_ref, lsb_ref, nodef_ref, nodei_ref,
+                       prim_ref, cand_ref, ctn_ref, st_ref, ids_ref,
+                       out_ref, res_ref, blk_scr, *, k, n_nodes, block,
+                       n_mats, mtypes, n_light_slots, rr_depth, use_nee,
+                       use_mis, sky_mode, precull, tcull):
     """Wavefront bounce + winner-residual record, compaction-aware.
 
     Grid steps past the alive-prefix boundary (``meta_ref[3]``) are
@@ -142,7 +142,8 @@ def _bounce_fwd_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
             cand=((cand_ref, ctn_ref, n_blocks) if precull else None),
             tcull=tcull)
 
-        u = _uniforms(pid, sample, seed, k)
+        u = _uniforms(pid, sample, seed, k,
+                      tuple(lsb_ref[a] for a in range(6)))
         want_miss = sky_mode == physics.SKY_ENVMAP
         cfg = physics.BounceCfg(
             mtypes=(), k=k, rr_depth=rr_depth, use_nee=use_nee,
@@ -166,9 +167,10 @@ def _bounce_fwd_kernel(meta_ref, blob_ref, nodef_ref, nodei_ref, prim_ref,
                       if "blocked" in capture else zeros)
 
 
-def _bounce_bwd_kernel(meta_ref, blob_ref, st_ref, ids_ref, res_ref, ct_ref,
-                       din_ref, dgeo_ref, dscal_ref, *, k, n_mats, mtypes,
-                       n_light_slots, rr_depth, use_nee, use_mis, sky_mode):
+def _bounce_bwd_kernel(meta_ref, blob_ref, lsb_ref, st_ref, ids_ref,
+                       res_ref, ct_ref, din_ref, dgeo_ref, dscal_ref, *, k,
+                       n_mats, mtypes, n_light_slots, rr_depth, use_nee,
+                       use_mis, sky_mode):
     """Replay one bounce under jax.vjp from the saved residuals.
 
     Inputs: pre-bounce state tile, ids, winner residuals, cotangent of the
@@ -212,7 +214,8 @@ def _bounce_bwd_kernel(meta_ref, blob_ref, st_ref, ids_ref, res_ref, ct_ref,
         hmid = res_ref[4]
         blocked = res_ref[7] > 0.5
 
-        u = _uniforms(pid, sample, seed, k)
+        u = _uniforms(pid, sample, seed, k,
+                      tuple(lsb_ref[a] for a in range(6)))
         want_miss = sky_mode == physics.SKY_ENVMAP
         cfg = physics.BounceCfg(
             mtypes=(), k=k, rr_depth=rr_depth, use_nee=use_nee,
@@ -298,13 +301,14 @@ def _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats, mtypes,
                          memory_space=pltpu.SMEM),
         ]
 
-    def fwd_call(meta, blob, nodef, nodei, prims, cand, ctn, st, ids):
+    def fwd_call(meta, blob, lsb, nodef, nodei, prims, cand, ctn, st,
+                 ids):
         return pl.pallas_call(
             functools.partial(_bounce_fwd_kernel, n_nodes=n_nodes,
                               block=block, precull=precull, tcull=tcull,
                               **stat),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=(n_tiles,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # nodef
@@ -332,15 +336,16 @@ def _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats, mtypes,
             ],
             # State rides aliased (the dead suffix is preserved in place);
             # XLA copies the operand where the saved residual keeps it live.
-            input_output_aliases={7: 0},
+            input_output_aliases={8: 0},
             interpret=interpret,
-        )(meta, blob, nodef, nodei, prims, cand, ctn, st, ids)
+        )(meta, blob, lsb, nodef, nodei, prims, cand, ctn, st,
+          ids)
 
-    def bwd_call(meta, blob, st, ids, res, ct):
+    def bwd_call(meta, blob, lsb, st, ids, res, ct):
         return pl.pallas_call(
             functools.partial(_bounce_bwd_kernel, **stat),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
+                num_scalar_prefetch=3,
                 grid=(n_tiles,),
                 in_specs=[
                     pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
@@ -367,24 +372,24 @@ def _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats, mtypes,
                 jax.ShapeDtypeStruct((n_scal,), jnp.float32),
             ],
             # Cotangents of the untouched suffix pass straight through.
-            input_output_aliases={5: 0},
+            input_output_aliases={6: 0},
             interpret=interpret,
-        )(meta, blob, st, ids, res, ct)
+        )(meta, blob, lsb, st, ids, res, ct)
 
     @jax.custom_vjp
-    def op(meta, blob, nodef, nodei, prims, cand, ctn, st, ids):
-        out, _ = fwd_call(meta, blob, nodef, nodei, prims, cand, ctn, st,
-                          ids)
+    def op(meta, blob, lsb, nodef, nodei, prims, cand, ctn, st, ids):
+        out, _ = fwd_call(meta, blob, lsb, nodef, nodei, prims, cand, ctn,
+                          st, ids)
         return out
 
-    def op_fwd(meta, blob, nodef, nodei, prims, cand, ctn, st, ids):
-        out, res = fwd_call(meta, blob, nodef, nodei, prims, cand, ctn, st,
-                            ids)
-        return out, (meta, blob, nodef, nodei, prims, st, ids, res)
+    def op_fwd(meta, blob, lsb, nodef, nodei, prims, cand, ctn, st, ids):
+        out, res = fwd_call(meta, blob, lsb, nodef, nodei, prims, cand, ctn,
+                            st, ids)
+        return out, (meta, blob, lsb, nodef, nodei, prims, st, ids, res)
 
     def op_bwd(r, ct):
-        meta, blob, nodef, nodei, prims, st, ids, res = r
-        din, dgeo, dscal = bwd_call(meta, blob, st, ids, res, ct)
+        meta, blob, lsb, nodef, nodei, prims, st, ids, res = r
+        din, dgeo, dscal = bwd_call(meta, blob, lsb, st, ids, res, ct)
 
         # Scalar-uniform grads -> blob layout (sky, material rows, light
         # rows are contiguous and in the same order as the dscal vector);
@@ -418,7 +423,7 @@ def _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats, mtypes,
         for a in range(4):
             d_prims = d_prims.at[blk, a, slot].add(
                 jnp.where(ok, dgeo[a].reshape(rr), 0.0))
-        return (None, d_blob, jnp.zeros_like(nodef),
+        return (None, d_blob, None, jnp.zeros_like(nodef),
                 None, d_prims[:n_blocks], None, None, din, None)
 
     op.defvjp(op_fwd, op_bwd)
@@ -437,6 +442,7 @@ def _run_wavefront_diff(blob, meta, nodef, nodei, prims, env, *, width,
     """One differentiable wavefront chunk -> (H, W, 3) radiance sum."""
     n_nodes = nodef.shape[0] // 8
     n_blocks = prims.shape[0]
+    lsb = jax.lax.stop_gradient(physics.lsel_bounds_from_prims(prims))
     st, ids, n_tiles = _raygen_launch(
         meta, jax.lax.stop_gradient(blob), width=width, height=height,
         chunk_spp=chunk_spp, dof=dof, interpret=interpret)
@@ -462,7 +468,8 @@ def _run_wavefront_diff(blob, meta, nodef, nodei, prims, env, *, width,
         op = _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats,
                         mtypes, n_light_slots, rr_depth, use_nee, use_mis,
                         sky_mode, bpi_key, precull, tcull, interpret)
-        st = op(meta4, blob, nodef, nodei, prims, cand, ctn, st, ids)
+        st = op(meta4, blob, lsb, nodef, nodei, prims, cand, ctn,
+                st, ids)
         if sky_mode == physics.SKY_ENVMAP:
             st = _add_env_radiance(st, env)
     return _scatter_image(st, ids, width, height)

@@ -71,6 +71,7 @@ def render_wavefront_sharded(scene: SceneData, camera, width: int,
     spp_dev = spp // n_data
     blob, meta3, nodef, nodei, prims, static = wavefront._packed(
         scene, camera, block)
+    lsb = physics.lsel_bounds_from_prims(prims)
     dof = bool(blob[13] > 0.0)
     env = _env_or_placeholder(scene)
     tiles_per_img = (-(-width // wavefront.TW)) * (-(-height // wavefront.TH))
@@ -85,9 +86,9 @@ def render_wavefront_sharded(scene: SceneData, camera, width: int,
     nl = int(meta3[2])
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), P(), P()), out_specs=P(),
+             in_specs=(P(), P(), P(), P(), P(), P()), out_specs=P(),
              check_vma=False)
-    def run(blob_r, nodef_r, nodei_r, prims_r, env_r):
+    def run(blob_r, lsb_r, nodef_r, nodei_r, prims_r, env_r):
         idx = jax.lax.axis_index("data")
         base = jnp.int32(start_sample) + idx * spp_dev
         img = None
@@ -96,13 +97,13 @@ def render_wavefront_sharded(scene: SceneData, camera, width: int,
             n = min(chunk_spp, spp_dev - s)
             meta = jnp.stack([base + s, jnp.int32(seed), jnp.int32(nl)])
             part = wavefront._launch_wavefront(
-                blob_r, meta, nodef_r, nodei_r, prims_r, env_r,
+                blob_r, meta, lsb_r, nodef_r, nodei_r, prims_r, env_r,
                 chunk_spp=n, **launch_kw)
             img = part if img is None else img + part
             s += n
         return jax.lax.psum(img, "data")
 
-    return jax.jit(run)(blob, nodef, nodei, prims, env)
+    return jax.jit(run)(blob, lsb, nodef, nodei, prims, env)
 
 
 def make_wavefront_dp_render_fn(scene: SceneData, camera, width: int,

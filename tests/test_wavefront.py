@@ -78,6 +78,20 @@ def test_precull_matches_walk(scene300):
     np.testing.assert_array_equal(a, c)
 
 
+def test_split_matches_fused(scene300):
+    """Split bounce (intersect kernel -> XLA shadow precull -> walk-free
+    shade kernel) must reproduce the fused bounce kernel exactly: the
+    shade kernel re-derives the winner from the residuals with the same
+    quadratic, and the XLA glue preculls the very shadow rays the kernel
+    reconstructs (shared physics.nee_shadow_setup)."""
+    a = np.asarray(wavefront.render_wavefront(
+        scene300, CAM, W, H, 0, 1, split=True, interpret=True, **KW))
+    b = np.asarray(wavefront.render_wavefront(
+        scene300, CAM, W, H, 0, 1, split=False, interpret=True, **KW))
+    assert np.isfinite(a).all()
+    np.testing.assert_array_equal(a, b)
+
+
 def test_chunking_is_invisible(scene300):
     """Chunked sample batches sum to the same image (same start_sample
     streams), regardless of the chunk size."""

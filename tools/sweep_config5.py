@@ -37,6 +37,21 @@ def main():
     interp = jax.default_backend() != "tpu"
 
     variants = [
+        ("split b256", dict(sort_every=1, dir_major=True, dbits=0,
+                            block=256, split=True)),
+        ("split b256 1chunk", dict(sort_every=1, dir_major=True, dbits=0,
+                                   block=256, split=True,
+                                   chunk_rays=16 << 20)),
+        ("fused b256", dict(sort_every=1, dir_major=True, dbits=0,
+                            block=256, split=False, precull=True)),
+        ("split dbits2", dict(sort_every=1, dir_major=True, dbits=2,
+                              block=256, split=True)),
+        ("split qbits5", dict(sort_every=1, dir_major=True, dbits=0,
+                              qbits=5, block=256, split=True)),
+        ("split se2", dict(sort_every=2, dir_major=True, dbits=0,
+                           block=256, split=True)),
+        ("split b128", dict(sort_every=1, dir_major=True, dbits=0,
+                            block=128, split=True)),
         # r2 key sweep (block=32): origin-major 11.07s / no-sort 22.5s /
         # dir-major 8.75s.  r3 found the walk SYNC-bound per node, so the
         # leaf block width became the dominant knob (32/64/128/256 =
@@ -47,19 +62,6 @@ def main():
         # r4 adds the XLA precull (no in-kernel tree walk) — with the walk
         # gone, SMALLER blocks may win again (finer per-lane culling, no
         # per-node sync to amortize).
-        ("walk b256", dict(sort_every=1, dir_major=True, dbits=0,
-                           block=256, precull=False)),
-        ("precull b256", dict(sort_every=1, dir_major=True, dbits=0,
-                              block=256, precull=True)),
-        ("precull b256 no-tcull", dict(sort_every=1, dir_major=True,
-                                       dbits=0, block=256, precull=True,
-                                       tcull=False)),
-        ("precull b128", dict(sort_every=1, dir_major=True, dbits=0,
-                              block=128, precull=True)),
-        ("precull b64", dict(sort_every=1, dir_major=True, dbits=0,
-                             block=64, precull=True)),
-        ("precull b32", dict(sort_every=1, dir_major=True, dbits=0,
-                             block=32, precull=True)),
     ]
     for name, knobs in variants:
         t0 = time.time()
