@@ -64,8 +64,9 @@ from ..core.scene import SceneData
 from . import physics
 from .megakernel import _SKY_OFF
 from .megakernel_bvh import (BLOCK, _MAT_OFF, _MAT_STRIDE, TH, TILE_LANES,
-                             TILE_ROWS, TW, _make_intersectors, _packed,
-                             pack_blob_jnp, pack_prims_jnp, refit_nodef_jnp)
+                             TILE_ROWS, TW, _cand_sweep_anyhit,
+                             _make_intersectors, _packed, pack_blob_jnp,
+                             pack_prims_jnp, refit_nodef_jnp)
 from .megakernel_bvh_grad import (_read_lights, _read_mats,
                                   _rebuilt_intersect)
 from .megakernel_grad import _uniforms
@@ -260,6 +261,252 @@ def _bounce_bwd_kernel(meta_ref, blob_ref, lsb_ref, st_ref, ids_ref,
                 dscal_ref[i] += v
 
 
+def _shade_fwd_kernel(meta_ref, blob_ref, lsb_ref, prim_ref, scand_ref,
+                      st_ref, ids_ref, res_ref, out_ref, blk_out_ref, *, k,
+                      block, n_mats, mtypes, n_light_slots, rr_depth,
+                      use_nee, use_mis, sky_mode):
+    """Split-bounce differentiable forward: shading only, walk-free.
+
+    Same as wavefront._shade_kernel (rebuilt intersector from the winner
+    residuals + shadow-candidate any-hit sweep) but additionally records
+    the NEE ``blocked`` mask — the one residual the backward replay needs
+    that the intersect kernel doesn't produce."""
+    seed = meta_ref[1].astype(jnp.uint32)
+    nl = meta_ref[2]
+    in_region = pl.program_id(0) < meta_ref[3]
+    alive = st_ref[C_ALIVE] > 0.5
+    any_alive = jnp.any(alive)
+    zeros = jnp.zeros_like(st_ref[C_ALIVE])
+
+    @pl.when(jnp.logical_not(in_region))
+    def _():
+        out_ref[C_ALIVE] = zeros
+        out_ref[C_INIMG] = zeros
+        out_ref[C_MISS] = zeros
+        blk_out_ref[0] = zeros
+
+    @pl.when(in_region & jnp.logical_not(any_alive))
+    def _():
+        for c in range(N_CH):
+            out_ref[c] = st_ref[c]
+        out_ref[C_MISS] = zeros
+        blk_out_ref[0] = zeros
+
+    @pl.when(in_region & any_alive)
+    def _():
+        pid = ids_ref[0].astype(jnp.uint32)
+        sample = ids_ref[1].astype(jnp.uint32)
+        state = tuple(st_ref[c] for c in range(C_PDF + 1))
+        aux = (alive, st_ref[C_SPEC] > 0.5)
+
+        sky = tuple(blob_ref[_SKY_OFF + a]
+                    for a in range(physics.N_SKY_ATTRS))
+        lights = _read_lights(blob_ref, n_mats, n_light_slots)
+        theta = ((), sky, lights)
+
+        mats = _read_mats(blob_ref, n_mats)
+        intersect_fn = _rebuilt_intersect(
+            mats, mtypes, res_ref[0], res_ref[1], res_ref[2], res_ref[3],
+            res_ref[4])
+
+        capture = {}
+
+        def occluded_fn(pox, poy, poz, ldx, ldy, ldz, tmax, need):
+            blocked = _cand_sweep_anyhit(prim_ref, scand_ref, pox, poy,
+                                         poz, ldx, ldy, ldz, need, tmax,
+                                         block)
+            capture["blocked"] = blocked
+            return blocked
+
+        u = _uniforms(pid, sample, seed, k,
+                      tuple(lsb_ref[a] for a in range(6)))
+        want_miss = sky_mode == physics.SKY_ENVMAP
+        cfg = physics.BounceCfg(
+            mtypes=(), k=k, rr_depth=rr_depth, use_nee=use_nee,
+            use_mis=use_mis, sky_mode=sky_mode,
+            n_light_slots=n_light_slots, want_miss=want_miss)
+        state, aux = physics.trace_bounce(
+            theta, state, aux, u, nl, cfg,
+            intersect_fn=intersect_fn, occluded_fn=occluded_fn)
+
+        for c, v in enumerate(state):
+            out_ref[c] = v
+        out_ref[C_ALIVE] = aux[0].astype(jnp.float32)
+        out_ref[C_SPEC] = aux[1].astype(jnp.float32)
+        out_ref[C_INIMG] = st_ref[C_INIMG]
+        out_ref[C_MISS] = (aux[2].astype(jnp.float32) if want_miss
+                           else zeros)
+        blk_out_ref[0] = (capture["blocked"].astype(jnp.float32)
+                          if "blocked" in capture else zeros)
+
+
+
+def _bwd_pallas_call(meta, blob, lsb, st, ids, res, ct, *, n_tiles, n_scal,
+                     stat, interpret):
+    """The backward bounce pallas_call — shared by the fused and split ops
+    (the backward never traverses, so it is identical for both)."""
+    n_rows = (n_tiles + 1) * TILE_ROWS
+
+    def _redirect(i, m, *r):
+        return (0, jnp.where(i < m[3], i, n_tiles), 0)
+
+    return pl.pallas_call(
+        functools.partial(_bounce_bwd_kernel, **stat),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, TILE_ROWS, TILE_LANES), _redirect,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_RES, TILE_ROWS, TILE_LANES), _redirect,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, TILE_ROWS, TILE_LANES), _redirect,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((N_CH, n_rows, TILE_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((4, n_rows, TILE_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_scal,), jnp.float32),
+        ],
+        # Cotangents of the untouched suffix pass straight through.
+        input_output_aliases={6: 0},
+        interpret=interpret,
+    )(meta, blob, lsb, st, ids, res, ct)
+
+
+def _grads_from_bwd(meta, blob, res, dgeo, dscal, *, n_mats, n_light_slots,
+                    n_blocks, block):
+    """Map the backward kernel's raw outputs to (d_blob, d_prims).
+
+    Scalar-uniform grads go to the blob layout (sky, material rows, light
+    rows are contiguous and in the dscal vector's order; the camera prefix
+    carries no gradient).  Per-lane geometry cotangents scatter into the
+    leaf prim table keyed by the saved (block, slot) — pure XLA, no
+    O(n_blocks) presence scan.  Rows past the compaction boundary (and the
+    pad tile) hold stale hardware garbage: their scatter targets are
+    redirected to a discard slot instead of masking by value, so NaN/Inf
+    garbage cannot contaminate real entries."""
+    light_off = _MAT_OFF + _MAT_STRIDE * n_mats
+    d_blob = jnp.zeros_like(blob)
+    d_blob = d_blob.at[_SKY_OFF:_SKY_OFF + physics.N_SKY_ATTRS].add(
+        dscal[:physics.N_SKY_ATTRS])
+    d_blob = d_blob.at[_MAT_OFF:_MAT_OFF + 8 * n_mats].add(
+        dscal[physics.N_SKY_ATTRS:physics.N_SKY_ATTRS + 8 * n_mats])
+    if n_light_slots:
+        d_blob = d_blob.at[light_off:light_off + 7 * n_light_slots].add(
+            dscal[physics.N_SKY_ATTRS + 8 * n_mats:])
+
+    rr = dgeo.shape[1] * dgeo.shape[2]
+    nalive_rays = meta[3] * TILE
+    in_pref = jnp.arange(rr, dtype=jnp.int32) < nalive_rays
+    hmid = res[4].reshape(rr)
+    ok = in_pref & (hmid >= 0.0)
+    blk = jnp.where(ok, jnp.clip(res[5].reshape(rr).astype(jnp.int32),
+                                 0, max(n_blocks - 1, 0)), n_blocks)
+    slot = jnp.clip(res[6].reshape(rr).astype(jnp.int32), 0, block - 1)
+    d_prims = jnp.zeros((n_blocks + 1, 5, block), jnp.float32)
+    for a in range(4):
+        d_prims = d_prims.at[blk, a, slot].add(
+            jnp.where(ok, dgeo[a].reshape(rr), 0.0))
+    return d_blob, d_prims[:n_blocks]
+
+
+@functools.lru_cache(maxsize=128)
+def _shade_op(k, n_tiles, n_blocks, block, n_mats, mtypes, n_light_slots,
+              rr_depth, use_nee, use_mis, sky_mode, block_prim_ids_key,
+              interpret):
+    """Split-bounce differentiable shade op (custom_vjp).
+
+    op(meta4, blob, lsb, prims, scand, st, ids, res) -> new state.  The
+    intersect kernel and shadow precull run OUTSIDE (on stop_gradient
+    inputs — they only select); gradients flow through the shade kernel's
+    rebuilt winner, and the backward is the ordinary replay kernel fed the
+    residual record with the recorded blocked mask in channel 7."""
+    n_rows = (n_tiles + 1) * TILE_ROWS
+    n_scal = physics.N_SKY_ATTRS + 8 * n_mats + 7 * n_light_slots
+    stat = dict(k=k, n_mats=n_mats, mtypes=mtypes,
+                n_light_slots=n_light_slots, rr_depth=rr_depth,
+                use_nee=use_nee, use_mis=use_mis, sky_mode=sky_mode)
+
+    def _redirect(i, m, *r):
+        return (0, jnp.where(i < m[3], i, n_tiles), 0)
+
+    def _redirect2(i, m, *r):
+        return (jnp.where(i < m[3], i, n_tiles), 0, 0)
+
+    if use_nee and n_light_slots:
+        sc_spec = pl.BlockSpec((1, 1, n_blocks + 1), _redirect2,
+                               memory_space=pltpu.SMEM)
+    else:
+        sc_spec = pl.BlockSpec((1, 1, 1), lambda i, m, *r: (0, 0, 0),
+                               memory_space=pltpu.SMEM)
+
+    def fwd_call(meta, blob, lsb, prims, scand, st, ids, res):
+        return pl.pallas_call(
+            functools.partial(_shade_fwd_kernel, block=block, **stat),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # prims
+                    sc_spec,
+                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2, TILE_ROWS, TILE_LANES), _redirect,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((N_RES, TILE_ROWS, TILE_LANES), _redirect,
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, TILE_ROWS, TILE_LANES), _redirect,
+                                 memory_space=pltpu.VMEM),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((N_CH, n_rows, TILE_LANES),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((1, n_rows, TILE_LANES), jnp.float32),
+            ],
+            input_output_aliases={5: 0},
+            interpret=interpret,
+        )(meta, blob, lsb, prims, scand, st, ids, res)
+
+    @jax.custom_vjp
+    def op(meta, blob, lsb, prims, scand, st, ids, res):
+        out, _ = fwd_call(meta, blob, lsb, prims, scand, st, ids, res)
+        return out
+
+    def op_fwd(meta, blob, lsb, prims, scand, st, ids, res):
+        out, blocked = fwd_call(meta, blob, lsb, prims, scand, st, ids, res)
+        res8 = jnp.concatenate([res[:7], blocked], axis=0)
+        return out, (meta, blob, lsb, st, ids, res8)
+
+    def op_bwd(r, ct):
+        meta, blob, lsb, st, ids, res8 = r
+        din, dgeo, dscal = _bwd_pallas_call(
+            meta, blob, lsb, st, ids, res8, ct, n_tiles=n_tiles,
+            n_scal=n_scal, stat=stat, interpret=interpret)
+        d_blob, d_prims = _grads_from_bwd(
+            meta, blob, res8, dgeo, dscal, n_mats=n_mats,
+            n_light_slots=n_light_slots, n_blocks=n_blocks, block=block)
+        return (None, d_blob, None, d_prims, None, din, None, None)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
 # ---------------------------------------------------------------------------
 # custom_vjp bounce op
 # ---------------------------------------------------------------------------
@@ -341,41 +588,6 @@ def _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats, mtypes,
         )(meta, blob, lsb, nodef, nodei, prims, cand, ctn, st,
           ids)
 
-    def bwd_call(meta, blob, lsb, st, ids, res, ct):
-        return pl.pallas_call(
-            functools.partial(_bounce_bwd_kernel, **stat),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=3,
-                grid=(n_tiles,),
-                in_specs=[
-                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((2, TILE_ROWS, TILE_LANES), _redirect,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((N_RES, TILE_ROWS, TILE_LANES), _redirect,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=[
-                    pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((4, TILE_ROWS, TILE_LANES), _redirect,
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                ],
-            ),
-            out_shape=[
-                jax.ShapeDtypeStruct((N_CH, n_rows, TILE_LANES),
-                                     jnp.float32),
-                jax.ShapeDtypeStruct((4, n_rows, TILE_LANES), jnp.float32),
-                jax.ShapeDtypeStruct((n_scal,), jnp.float32),
-            ],
-            # Cotangents of the untouched suffix pass straight through.
-            input_output_aliases={6: 0},
-            interpret=interpret,
-        )(meta, blob, lsb, st, ids, res, ct)
-
     @jax.custom_vjp
     def op(meta, blob, lsb, nodef, nodei, prims, cand, ctn, st, ids):
         out, _ = fwd_call(meta, blob, lsb, nodef, nodei, prims, cand, ctn,
@@ -389,42 +601,14 @@ def _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats, mtypes,
 
     def op_bwd(r, ct):
         meta, blob, lsb, nodef, nodei, prims, st, ids, res = r
-        din, dgeo, dscal = bwd_call(meta, blob, lsb, st, ids, res, ct)
-
-        # Scalar-uniform grads -> blob layout (sky, material rows, light
-        # rows are contiguous and in the same order as the dscal vector);
-        # the camera prefix carries no gradient.
-        light_off = _MAT_OFF + _MAT_STRIDE * n_mats
-        d_blob = jnp.zeros_like(blob)
-        d_blob = d_blob.at[_SKY_OFF:_SKY_OFF + physics.N_SKY_ATTRS].add(
-            dscal[:physics.N_SKY_ATTRS])
-        d_blob = d_blob.at[_MAT_OFF:_MAT_OFF + 8 * n_mats].add(
-            dscal[physics.N_SKY_ATTRS:physics.N_SKY_ATTRS + 8 * n_mats])
-        if n_light_slots:
-            d_blob = d_blob.at[
-                light_off:light_off + 7 * n_light_slots].add(
-                dscal[physics.N_SKY_ATTRS + 8 * n_mats:])
-
-        # Per-lane geometry cotangents -> leaf prim table rows 0-3, keyed
-        # by the saved (block, slot).  Pure-XLA scatter-add: no O(n_blocks)
-        # presence scan anywhere.  Rows past the compaction boundary (and
-        # the pad tile) hold stale hardware garbage — their scatter targets
-        # are redirected to a discard slot instead of masking by value, so
-        # NaN/Inf garbage cannot contaminate real entries.
-        rr = dgeo.shape[1] * dgeo.shape[2]
-        nalive_rays = meta[3] * TILE
-        in_pref = jnp.arange(rr, dtype=jnp.int32) < nalive_rays
-        hmid = res[4].reshape(rr)
-        ok = in_pref & (hmid >= 0.0)
-        blk = jnp.where(ok, jnp.clip(res[5].reshape(rr).astype(jnp.int32),
-                                     0, max(n_blocks - 1, 0)), n_blocks)
-        slot = jnp.clip(res[6].reshape(rr).astype(jnp.int32), 0, block - 1)
-        d_prims = jnp.zeros((n_blocks + 1, 5, block), jnp.float32)
-        for a in range(4):
-            d_prims = d_prims.at[blk, a, slot].add(
-                jnp.where(ok, dgeo[a].reshape(rr), 0.0))
+        din, dgeo, dscal = _bwd_pallas_call(
+            meta, blob, lsb, st, ids, res, ct, n_tiles=n_tiles,
+            n_scal=n_scal, stat=stat, interpret=interpret)
+        d_blob, d_prims = _grads_from_bwd(
+            meta, blob, res, dgeo, dscal, n_mats=n_mats,
+            n_light_slots=n_light_slots, n_blocks=n_blocks, block=block)
         return (None, d_blob, None, jnp.zeros_like(nodef),
-                None, d_prims[:n_blocks], None, None, din, None)
+                None, d_prims, None, None, din, None)
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -438,17 +622,29 @@ def _run_wavefront_diff(blob, meta, nodef, nodei, prims, env, *, width,
                         height, chunk_spp, block, n_mats, mtypes,
                         n_light_slots, max_bounces, rr_depth, use_nee,
                         use_mis, sky_mode, dof, sort_every, qbits, dir_major,
-                        dbits, compact, precull, tcull, interpret, bpi_key):
+                        dbits, compact, precull, tcull, split, interpret,
+                        bpi_key):
     """One differentiable wavefront chunk -> (H, W, 3) radiance sum."""
+    from .wavefront import (_isect_kernel, _precull_rays, _shadow_rays_xla,
+                            TILE_LANES)
     n_nodes = nodef.shape[0] // 8
     n_blocks = prims.shape[0]
+    n_rows_all = None
     lsb = jax.lax.stop_gradient(physics.lsel_bounds_from_prims(prims))
     st, ids, n_tiles = _raygen_launch(
         meta, jax.lax.stop_gradient(blob), width=width, height=height,
         chunk_spp=chunk_spp, dof=dof, interpret=interpret)
+    n_rows_all = (n_tiles + 1) * TILE_ROWS
     lo, ext = _scene_sort_bounds(jax.lax.stop_gradient(nodef))
-    if precull:
+    if precull or split:
         lob, hib = _leaf_block_bounds(jax.lax.stop_gradient(prims))
+
+    def _redirect(i, m, *r):
+        return (0, jnp.where(i < m[3], i, n_tiles), 0)
+
+    def _redirect2(i, m, *r):
+        return (jnp.where(i < m[3], i, n_tiles), 0, 0)
+
     nalive = jnp.int32(n_tiles)
     for k in range(max_bounces):
         if sort_every and k and (k - 1) % sort_every == 0:
@@ -458,18 +654,63 @@ def _run_wavefront_diff(blob, meta, nodef, nodei, prims, env, *, width,
                                      dbits, variadic=False)
             if compact:
                 nalive = na
-        if precull:
-            cand, ctn = _precull(jax.lax.stop_gradient(st), lob, hib,
-                                 n_tiles)
-        else:
-            cand = jnp.zeros((1, 1, 1), jnp.int32)
-            ctn = jnp.zeros((1, 1, 1), jnp.float32)
         meta4 = jnp.concatenate([meta[:3], nalive.reshape(1)])
-        op = _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats,
-                        mtypes, n_light_slots, rr_depth, use_nee, use_mis,
-                        sky_mode, bpi_key, precull, tcull, interpret)
-        st = op(meta4, blob, lsb, nodef, nodei, prims, cand, ctn,
-                st, ids)
+        if split:
+            # Split bounce under grad: intersect + shadow precull run on
+            # DETACHED values (pure hit/occluder selection — the same
+            # detached-selection estimator as the backward replay);
+            # gradients flow through the shade op's rebuilt winner.
+            st_d = jax.lax.stop_gradient(st)
+            prims_d = jax.lax.stop_gradient(prims)
+            cand, ctn = _precull(st_d, lob, hib, n_tiles)
+            res = pl.pallas_call(
+                functools.partial(_isect_kernel, block=block, tcull=tcull),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=(n_tiles,),
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.VMEM),   # prims
+                        pl.BlockSpec((1, 1, n_blocks + 1), _redirect2,
+                                     memory_space=pltpu.SMEM),
+                        pl.BlockSpec((1, 1, n_blocks), _redirect2,
+                                     memory_space=pltpu.SMEM),
+                        pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
+                                     _redirect, memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((N_RES, TILE_ROWS, TILE_LANES),
+                                           _redirect,
+                                           memory_space=pltpu.VMEM),
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (N_RES, n_rows_all, TILE_LANES), jnp.float32),
+                interpret=interpret,
+            )(meta4, prims_d, cand, ctn, st_d)
+            if use_nee and n_light_slots:
+                so3, sd3, stmax, sneed = _shadow_rays_xla(
+                    st_d, ids, res, jax.lax.stop_gradient(blob), lsb,
+                    meta[2], k=k, seed=meta[1], n_mats=n_mats,
+                    mtypes=mtypes, n_light_slots=n_light_slots)
+                scand, _ = _precull_rays(so3, sd3, sneed, stmax, lob, hib,
+                                         n_tiles)
+            else:
+                scand = jnp.zeros((1, 1, 1), jnp.int32)
+            op = _shade_op(k, n_tiles, n_blocks, block, n_mats, mtypes,
+                           n_light_slots, rr_depth, use_nee, use_mis,
+                           sky_mode, bpi_key, interpret)
+            st = op(meta4, blob, lsb, prims, scand, st, ids, res)
+        else:
+            if precull:
+                cand, ctn = _precull(jax.lax.stop_gradient(st), lob, hib,
+                                     n_tiles)
+            else:
+                cand = jnp.zeros((1, 1, 1), jnp.int32)
+                ctn = jnp.zeros((1, 1, 1), jnp.float32)
+            op = _bounce_op(k, n_tiles, n_nodes, n_blocks, block, n_mats,
+                            mtypes, n_light_slots, rr_depth, use_nee,
+                            use_mis, sky_mode, bpi_key, precull, tcull,
+                            interpret)
+            st = op(meta4, blob, lsb, nodef, nodei, prims, cand, ctn,
+                    st, ids)
         if sky_mode == physics.SKY_ENVMAP:
             st = _add_env_radiance(st, env)
     return _scatter_image(st, ids, width, height)
@@ -483,6 +724,7 @@ def make_wavefront_render_fn(scene: SceneData, camera, width: int,
                              dir_major: bool = True, dbits: int = D_BITS,
                              block: int = BLOCK, compact: bool = True,
                              precull: bool = True, tcull: bool = True,
+                             split: bool = True,
                              chunk_rays: int = 2 << 20,
                              interpret: bool = False):
     """render(params, start_sample) -> (H, W, 3) mean radiance,
@@ -514,7 +756,8 @@ def make_wavefront_render_fn(scene: SceneData, camera, width: int,
               sort_every=int(sort_every), qbits=int(qbits),
               dir_major=bool(dir_major), dbits=int(dbits),
               compact=bool(compact), precull=bool(precull),
-              tcull=bool(tcull), interpret=interpret, bpi_key=bpi_key)
+              tcull=bool(tcull), split=bool(split), interpret=interpret,
+              bpi_key=bpi_key)
     inv_spp = 1.0 / spp
     meta0 = jnp.asarray([0, seed, int(meta3[2])], jnp.int32)
 

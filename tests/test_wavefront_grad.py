@@ -127,6 +127,23 @@ def test_wavefront_grad_precull_invisible(scene160):
                                rtol=1e-5, atol=1e-7)
 
 
+def test_wavefront_grad_split_invisible(scene160):
+    """Split shade op (walk-free, blocked recorded by the shade kernel)
+    must reproduce the fused bounce op's forward AND gradients exactly."""
+    params = G.get_params(scene160, ("albedo", "centers", "radii"))
+    rs = wg.make_wavefront_render_fn(
+        scene160, CAM, W, H, spp=SPP, split=True, interpret=True, **KW)
+    rf = wg.make_wavefront_render_fn(
+        scene160, CAM, W, H, spp=SPP, split=False, interpret=True, **KW)
+    vs, gs = jax.value_and_grad(lambda p: jnp.sum(rs(p, 0)))(params)
+    vf, gf = jax.value_and_grad(lambda p: jnp.sum(rf(p, 0)))(params)
+    np.testing.assert_allclose(float(vs), float(vf), rtol=1e-6)
+    for key in params:
+        np.testing.assert_allclose(np.asarray(gs[key]),
+                                   np.asarray(gf[key]),
+                                   rtol=1e-5, atol=1e-7, err_msg=key)
+
+
 def test_wavefront_grad_sort_invisible(scene160):
     """Sorting is a permutation: gradients with/without sorting agree."""
     params = G.get_params(scene160, ("albedo", "centers"))

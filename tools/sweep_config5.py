@@ -37,13 +37,6 @@ def main():
     interp = jax.default_backend() != "tpu"
 
     variants = [
-        ("split b256", dict(sort_every=1, dir_major=True, dbits=0,
-                            block=256, split=True)),
-        ("split b256 1chunk", dict(sort_every=1, dir_major=True, dbits=0,
-                                   block=256, split=True,
-                                   chunk_rays=16 << 20)),
-        ("fused b256", dict(sort_every=1, dir_major=True, dbits=0,
-                            block=256, split=False, precull=True)),
         ("split dbits2", dict(sort_every=1, dir_major=True, dbits=2,
                               block=256, split=True)),
         ("split qbits5", dict(sort_every=1, dir_major=True, dbits=0,
