@@ -708,26 +708,35 @@ def _cand_sweep_nearest(prim_ref, cand_ref, ctn_ref, ox, oy, oz, dx, dy, dz,
     return out[3:]
 
 
-def _cand_sweep_anyhit(prim_ref, scand_ref, ox, oy, oz, dx, dy, dz, need,
-                       tmax, block):
+def _cand_sweep_anyhit(prim_ref, scand_ref, sctn_ref, ox, oy, oz, dx, dy,
+                       dz, need, tmax, block, max_cand):
     """Any-hit sweep over a precomputed per-tile shadow candidate list.
 
     The split-bounce wavefront preculls each tile's SHADOW rays in XLA
-    (wavefront._shadow_precull — per-lane slab tests with the per-ray
-    tmax bound, exact like the nearest-hit precull), so occlusion needs no
-    tree walk at all: sweep the listed blocks, exit as soon as every lane
-    that needs an answer is blocked (or the list ends).  Replaces the
-    _walk_collect + _leaf_sweep_anyhit pair whose serial per-node scalar
-    chain was 60-87% of every bounce kernel (r4 profile).
+    (per-lane slab tests with the per-ray tmax bound, exact like the
+    nearest-hit precull), so occlusion needs no tree walk at all: sweep
+    the listed blocks nearest-first, exit as soon as every lane that
+    needs an answer is blocked, the list ends, or — the distance cut —
+    the NEXT candidate's entry bound exceeds every still-unblocked
+    needing lane's light distance (a per-tile union list covers lanes
+    whose shadow segments point all over; as lanes block, ``t_need``
+    shrinks and the far tail of the union stops mattering).  Replaces
+    the _walk_collect + _leaf_sweep_anyhit pair whose serial per-node
+    scalar chain was 60-87% of every bounce kernel (r4 profile).
     """
     ncand = scand_ref[0, 0, 0]
+    zerof = jnp.float32(0.0)
+
+    def t_need_of(blocked):
+        return jnp.max(jnp.where(need & (blocked < 0.5), tmax, zerof))
 
     def cond(c):
-        i, blocked = c
-        return (i < ncand) & jnp.any(need & (blocked < 0.5))
+        i, next_tn, t_need, blocked = c
+        return (i < ncand) & (next_tn < t_need) \
+            & jnp.any(need & (blocked < 0.5))
 
     def body(c):
-        i, blocked = c
+        i, _next_tn, _t_need, blocked = c
         blk = scand_ref[0, 0, i + 1]
         for j in range(block):
             cx = prim_ref[blk, 0, j]
@@ -745,10 +754,13 @@ def _cand_sweep_anyhit(prim_ref, scand_ref, ox, oy, oz, dx, dy, dz, need,
             tj = jnp.where(t0 > TMIN, t0, t1)
             hit_j = pos & (tj > TMIN) & (tj < tmax) & need
             blocked = jnp.maximum(blocked, hit_j.astype(jnp.float32))
-        return i + 1, blocked
+        nxt = sctn_ref[0, 0, jnp.minimum(i + 1, max_cand - 1)]
+        return i + 1, nxt, t_need_of(blocked), blocked
 
-    _, blocked = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.zeros(ox.shape, jnp.float32)))
+    blocked0 = jnp.zeros(ox.shape, jnp.float32)
+    _, _, _, blocked = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), sctn_ref[0, 0, 0], t_need_of(blocked0),
+                     blocked0))
     return blocked > 0.5
 
 

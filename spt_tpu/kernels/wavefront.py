@@ -495,9 +495,10 @@ def _isect_kernel(meta_ref, prim_ref, cand_ref, ctn_ref, st_ref, res_ref, *,
         res_ref[7] = zeros
 
 
-def _shade_kernel(meta_ref, blob_ref, lsb_ref, prim_ref, scand_ref, st_ref,
-                  ids_ref, res_ref, out_ref, *, k, block, n_mats, mtypes,
-                  n_light_slots, rr_depth, use_nee, use_mis, sky_mode):
+def _shade_kernel(meta_ref, blob_ref, lsb_ref, prim_ref, scand_ref,
+                  sctn_ref, st_ref, ids_ref, res_ref, out_ref, *, k, block,
+                  n_mats, mtypes, n_light_slots, rr_depth, use_nee, use_mis,
+                  sky_mode):
     """Split-bounce phase 2: shading with a rebuilt intersector.
 
     No traversal anywhere: the nearest hit is re-derived from the winner
@@ -545,8 +546,9 @@ def _shade_kernel(meta_ref, blob_ref, lsb_ref, prim_ref, scand_ref, st_ref,
             res_ref[4])
 
         def occluded_fn(pox, poy, poz, ldx, ldy, ldz, tmax, need):
-            return _cand_sweep_anyhit(prim_ref, scand_ref, pox, poy, poz,
-                                      ldx, ldy, ldz, need, tmax, block)
+            return _cand_sweep_anyhit(prim_ref, scand_ref, sctn_ref, pox,
+                                      poy, poz, ldx, ldy, ldz, need, tmax,
+                                      block, prim_ref.shape[0])
 
         u = _uniforms(pid, sample, seed, k,
                       tuple(lsb_ref[a] for a in range(6)))
@@ -844,15 +846,23 @@ def _launch_wavefront(blob, meta, lsb, nodef, nodei, prims, env, *, width,
                     st, ids, res, blob, lsb, meta[2], k=k, seed=meta[1],
                     n_mats=n_mats, mtypes=mtypes,
                     n_light_slots=n_light_slots)
-                scand, _sctn = _precull_rays(so3, sd3, sneed, stmax, lob,
-                                             hib, n_tiles)
+                scand, sctn = _precull_rays(so3, sd3, sneed, stmax, lob,
+                                            hib, n_tiles)
+                sc_specs = [
+                    pl.BlockSpec((1, 1, n_blocks + 1), _redirect2,
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 1, n_blocks), _redirect2,
+                                 memory_space=pltpu.SMEM),
+                ]
             else:
                 scand = jnp.zeros((1, 1, 1), jnp.int32)
-            sc_spec = (pl.BlockSpec((1, 1, n_blocks + 1), _redirect2,
-                                    memory_space=pltpu.SMEM)
-                       if (use_nee and n_light_slots) else
-                       pl.BlockSpec((1, 1, 1), lambda i, m, *r: (0, 0, 0),
-                                    memory_space=pltpu.SMEM))
+                sctn = jnp.zeros((1, 1, 1), jnp.float32)
+                sc_specs = [
+                    pl.BlockSpec((1, 1, 1), lambda i, m, *r: (0, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 1, 1), lambda i, m, *r: (0, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                ]
             st = pl.pallas_call(
                 functools.partial(
                     _shade_kernel, k=k, block=block, n_mats=n_mats,
@@ -864,7 +874,7 @@ def _launch_wavefront(blob, meta, lsb, nodef, nodei, prims, env, *, width,
                     grid=(n_tiles,),
                     in_specs=[
                         pl.BlockSpec(memory_space=pltpu.VMEM),   # prims
-                        sc_spec,
+                        *sc_specs,
                         pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
                                      _redirect, memory_space=pltpu.VMEM),
                         pl.BlockSpec((2, TILE_ROWS, TILE_LANES),
@@ -878,9 +888,9 @@ def _launch_wavefront(blob, meta, lsb, nodef, nodei, prims, env, *, width,
                 ),
                 out_shape=jax.ShapeDtypeStruct((N_CH, n_rows, TILE_LANES),
                                                jnp.float32),
-                input_output_aliases={5: 0},
+                input_output_aliases={6: 0},
                 interpret=interpret,
-            )(meta4, blob, lsb, prims, scand, st, ids, res)
+            )(meta4, blob, lsb, prims, scand, sctn, st, ids, res)
             if sky_mode == physics.SKY_ENVMAP:
                 st = _add_env_radiance(st, env)
             continue

@@ -262,9 +262,9 @@ def _bounce_bwd_kernel(meta_ref, blob_ref, lsb_ref, st_ref, ids_ref,
 
 
 def _shade_fwd_kernel(meta_ref, blob_ref, lsb_ref, prim_ref, scand_ref,
-                      st_ref, ids_ref, res_ref, out_ref, blk_out_ref, *, k,
-                      block, n_mats, mtypes, n_light_slots, rr_depth,
-                      use_nee, use_mis, sky_mode):
+                      sctn_ref, st_ref, ids_ref, res_ref, out_ref,
+                      blk_out_ref, *, k, block, n_mats, mtypes,
+                      n_light_slots, rr_depth, use_nee, use_mis, sky_mode):
     """Split-bounce differentiable forward: shading only, walk-free.
 
     Same as wavefront._shade_kernel (rebuilt intersector from the winner
@@ -312,9 +312,10 @@ def _shade_fwd_kernel(meta_ref, blob_ref, lsb_ref, prim_ref, scand_ref,
         capture = {}
 
         def occluded_fn(pox, poy, poz, ldx, ldy, ldz, tmax, need):
-            blocked = _cand_sweep_anyhit(prim_ref, scand_ref, pox, poy,
-                                         poz, ldx, ldy, ldz, need, tmax,
-                                         block)
+            blocked = _cand_sweep_anyhit(prim_ref, scand_ref, sctn_ref,
+                                         pox, poy, poz, ldx, ldy, ldz,
+                                         need, tmax, block,
+                                         prim_ref.shape[0])
             capture["blocked"] = blocked
             return blocked
 
@@ -445,13 +446,21 @@ def _shade_op(k, n_tiles, n_blocks, block, n_mats, mtypes, n_light_slots,
         return (jnp.where(i < m[3], i, n_tiles), 0, 0)
 
     if use_nee and n_light_slots:
-        sc_spec = pl.BlockSpec((1, 1, n_blocks + 1), _redirect2,
-                               memory_space=pltpu.SMEM)
+        sc_specs = [
+            pl.BlockSpec((1, 1, n_blocks + 1), _redirect2,
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_blocks), _redirect2,
+                         memory_space=pltpu.SMEM),
+        ]
     else:
-        sc_spec = pl.BlockSpec((1, 1, 1), lambda i, m, *r: (0, 0, 0),
-                               memory_space=pltpu.SMEM)
+        sc_specs = [
+            pl.BlockSpec((1, 1, 1), lambda i, m, *r: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, m, *r: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
 
-    def fwd_call(meta, blob, lsb, prims, scand, st, ids, res):
+    def fwd_call(meta, blob, lsb, prims, scand, sctn, st, ids, res):
         return pl.pallas_call(
             functools.partial(_shade_fwd_kernel, block=block, **stat),
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -459,7 +468,7 @@ def _shade_op(k, n_tiles, n_blocks, block, n_mats, mtypes, n_light_slots,
                 grid=(n_tiles,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.VMEM),   # prims
-                    sc_spec,
+                    *sc_specs,
                     pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES), _redirect,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((2, TILE_ROWS, TILE_LANES), _redirect,
@@ -479,17 +488,19 @@ def _shade_op(k, n_tiles, n_blocks, block, n_mats, mtypes, n_light_slots,
                                      jnp.float32),
                 jax.ShapeDtypeStruct((1, n_rows, TILE_LANES), jnp.float32),
             ],
-            input_output_aliases={5: 0},
+            input_output_aliases={6: 0},
             interpret=interpret,
-        )(meta, blob, lsb, prims, scand, st, ids, res)
+        )(meta, blob, lsb, prims, scand, sctn, st, ids, res)
 
     @jax.custom_vjp
-    def op(meta, blob, lsb, prims, scand, st, ids, res):
-        out, _ = fwd_call(meta, blob, lsb, prims, scand, st, ids, res)
+    def op(meta, blob, lsb, prims, scand, sctn, st, ids, res):
+        out, _ = fwd_call(meta, blob, lsb, prims, scand, sctn, st, ids,
+                          res)
         return out
 
-    def op_fwd(meta, blob, lsb, prims, scand, st, ids, res):
-        out, blocked = fwd_call(meta, blob, lsb, prims, scand, st, ids, res)
+    def op_fwd(meta, blob, lsb, prims, scand, sctn, st, ids, res):
+        out, blocked = fwd_call(meta, blob, lsb, prims, scand, sctn, st,
+                                ids, res)
         res8 = jnp.concatenate([res[:7], blocked], axis=0)
         return out, (meta, blob, lsb, st, ids, res8)
 
@@ -501,7 +512,7 @@ def _shade_op(k, n_tiles, n_blocks, block, n_mats, mtypes, n_light_slots,
         d_blob, d_prims = _grads_from_bwd(
             meta, blob, res8, dgeo, dscal, n_mats=n_mats,
             n_light_slots=n_light_slots, n_blocks=n_blocks, block=block)
-        return (None, d_blob, None, d_prims, None, din, None, None)
+        return (None, d_blob, None, d_prims, None, None, din, None, None)
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -690,14 +701,15 @@ def _run_wavefront_diff(blob, meta, nodef, nodei, prims, env, *, width,
                     st_d, ids, res, jax.lax.stop_gradient(blob), lsb,
                     meta[2], k=k, seed=meta[1], n_mats=n_mats,
                     mtypes=mtypes, n_light_slots=n_light_slots)
-                scand, _ = _precull_rays(so3, sd3, sneed, stmax, lob, hib,
-                                         n_tiles)
+                scand, sctn = _precull_rays(so3, sd3, sneed, stmax, lob,
+                                            hib, n_tiles)
             else:
                 scand = jnp.zeros((1, 1, 1), jnp.int32)
+                sctn = jnp.zeros((1, 1, 1), jnp.float32)
             op = _shade_op(k, n_tiles, n_blocks, block, n_mats, mtypes,
                            n_light_slots, rr_depth, use_nee, use_mis,
                            sky_mode, bpi_key, interpret)
-            st = op(meta4, blob, lsb, prims, scand, st, ids, res)
+            st = op(meta4, blob, lsb, prims, scand, sctn, st, ids, res)
         else:
             if precull:
                 cand, ctn = _precull(jax.lax.stop_gradient(st), lob, hib,

@@ -72,7 +72,8 @@ def main():
         # same measured class as wavefront-vs-SoA (tests/test_wavefront).
         close = (np.abs(np.asarray(img_g) - np.asarray(img_r))
                  < 1e-3 + 1e-2 * np.abs(np.asarray(img_r))).all(-1)
-        agree = bool(close.mean() >= 0.99)
+        frac_close = float(close.mean())
+        agree = bool(frac_close >= 0.99)
         cap = -(-sd.capacity // 8) * 8
         row = {
             "n_prims": n,
@@ -82,13 +83,18 @@ def main():
             "auto_strategy": ("gather" if S._prim_transient_bytes(cap)
                               <= S.GATHER_TRANSIENT_BUDGET else "ring"),
             "gather_matches_ring": agree,
+            "frac_close": round(frac_close, 5),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
     with open(args.out, "w") as f:
         json.dump({
-            "note": "8-device virtual CPU mesh (data=1, prim=8), 64x64x1spp"
-                    " depth-2 NEE render; both strategies traverse BVHs"
+            "note": "8-device virtual CPU mesh (data=1, prim=8), 32x32 1spp"
+                    " depth-2 render, NEE off, scene compiled use_bvh=False"
+                    " (the strategies build their own trees); divergent-"
+                    "pixel classification in PRIM_DIVERGENCE.json"
+                    " (tools/classify_prim_divergence.py); both strategies"
+                    " traverse BVHs"
                     " (gathered full tree / per-chunk mini-trees).  The"
                     " dispatcher picks gather while the transient copy fits"
                     " GATHER_TRANSIENT_BUDGET, ring beyond - the ring's"

@@ -115,8 +115,78 @@ def main():
             interpret=interp,
         )(meta4, blob, lsb, nodef, nodei, prims, cand, ctn, st, ids)
 
+    def _redirect8(i, m, *r):
+        return (0, jnp.where(i < m[3], i, n_tiles), 0)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def isect(meta4, prims_a, cand, ctn, st):
+        return pl.pallas_call(
+            functools.partial(wf._isect_kernel, block=args.block,
+                              tcull=True),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, n_blocks + 1), _redirect2,
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 1, n_blocks), _redirect2,
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((wf.N_CH, wf.TILE_ROWS, wf.TILE_LANES),
+                                 _redirect, memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((8, wf.TILE_ROWS, wf.TILE_LANES),
+                                       _redirect,
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((8, n_rows, wf.TILE_LANES),
+                                           jnp.float32),
+            interpret=interp,
+        )(meta4, prims_a, cand, ctn, st)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def shadow_glue(st, ids, res, meta, *, k):
+        so3, sd3, stmax, sneed = wf._shadow_rays_xla(
+            st, ids, res, blob, lsb, meta[2], k=k, seed=meta[1],
+            n_mats=static["n_mats"], mtypes=static["mtypes"],
+            n_light_slots=static["n_light_slots"])
+        return wf._precull_rays(so3, sd3, sneed, stmax, lob, hib, n_tiles)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def shade(meta4, blob_a, lsb_a, prims_a, scand, st, ids, res, *, k):
+        return pl.pallas_call(
+            functools.partial(
+                wf._shade_kernel, k=k, block=args.block,
+                n_mats=static["n_mats"], mtypes=static["mtypes"],
+                n_light_slots=static["n_light_slots"], rr_depth=3,
+                use_nee=True, use_mis=True, sky_mode=sd.sky_mode),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, n_blocks + 1), _redirect2,
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((wf.N_CH, wf.TILE_ROWS, wf.TILE_LANES),
+                                 _redirect, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2, wf.TILE_ROWS, wf.TILE_LANES),
+                                 _redirect, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, wf.TILE_ROWS, wf.TILE_LANES),
+                                 _redirect, memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (wf.N_CH, wf.TILE_ROWS, wf.TILE_LANES), _redirect,
+                    memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (wf.N_CH, n_rows, wf.TILE_LANES), jnp.float32),
+            input_output_aliases={5: 0},
+            interpret=interp,
+        )(meta4, blob_a, lsb_a, prims_a, scand, st, ids, res)
+
     nalive = jnp.int32(n_tiles)
-    totals = {"sort": 0.0, "precull": 0.0, "kernel": 0.0}
+    totals = {"sort": 0.0, "precull": 0.0, "isect": 0.0, "shadow": 0.0,
+              "shade": 0.0}
     for k in range(args.bounces):
         row = {"bounce": k}
         if k:
@@ -125,23 +195,23 @@ def main():
             totals["sort"] += t_s
         t_p, (cand, ctn) = timed(precull_j, st)
         totals["precull"] += t_p
-        # Candidate stats over the alive prefix.
         nc = np.asarray(cand[:, 0, 0])
         na = int(nalive)
         row.update(precull_s=round(t_p, 4), alive_tiles=na,
-                   mean_cand=round(float(nc[:max(na, 1)].mean()), 1),
-                   max_cand=int(nc[:max(na, 1)].max()))
+                   mean_cand=round(float(nc[:max(na, 1)].mean()), 1))
         meta4 = jnp.concatenate([meta[:3], jnp.int32(nalive).reshape(1)])
-        # NEE-off probe FIRST (does not advance state): isolates the
-        # shadow-occlusion tree walk's share of the kernel wall.
-        t_n, _ = timed(functools.partial(bounce, k=k, use_nee=False),
-                       meta4, blob, lsb, nodef, nodei, prims, cand, ctn,
-                       st, ids)
-        row["kernel_nonee_s"] = round(t_n, 4)
-        t_k, st = timed(functools.partial(bounce, k=k), meta4, blob, lsb,
-                        nodef, nodei, prims, cand, ctn, st, ids)
-        row["kernel_s"] = round(t_k, 4)
-        totals["kernel"] += t_k
+        t_i, res = timed(isect, meta4, prims, cand, ctn, st)
+        totals["isect"] += t_i
+        t_g, (scand, _sctn) = timed(functools.partial(shadow_glue, k=k),
+                                    st, ids, res, meta)
+        totals["shadow"] += t_g
+        sc = np.asarray(scand[:, 0, 0])
+        row.update(isect_s=round(t_i, 4), shadow_s=round(t_g, 4),
+                   mean_scand=round(float(sc[:max(na, 1)].mean()), 1))
+        t_k, st = timed(functools.partial(shade, k=k), meta4, blob, lsb,
+                        prims, scand, st, ids, res)
+        row["shade_s"] = round(t_k, 4)
+        totals["shade"] += t_k
         print(json.dumps(row), flush=True)
     print(json.dumps({"totals": {k: round(v, 3)
                                  for k, v in totals.items()}}), flush=True)
