@@ -292,12 +292,18 @@ def bench_config5(quick):
     # size, and a fault poisons every later TPU op in the process.  The
     # SoA integrator remains the CPU-side oracle for all parity tests.
     BLK = 256 if not interp else 32   # sync-bound walk wants fat leaves
+    # Wavefront r4 tuning (tools/sweep_config5.py): with the XLA precull
+    # and split bounce the walk is gone, so finer leaf blocks win again
+    # (b128) and one extra origin-quantization bit tightens packets
+    # (qbits=5): 3.17s vs 3.29s at b256/qbits4, vs 6.70s r3.
+    WBLK = 128 if not interp else 32
+    WQ = 5
     dt_f_pal = timed(lambda s0: megakernel_bvh.render_tiles_bvh(
         sd, cam, W, H, s0, SPP, block=BLK, interpret=interp, **kw),
         0, reps=reps)
     dt_f_wav = timed(lambda s0: wavefront.render_wavefront(
-        sd, cam, W, H, s0, SPP, block=BLK, interpret=interp, **kw),
-        0, reps=reps)
+        sd, cam, W, H, s0, SPP, block=WBLK, qbits=WQ, interpret=interp,
+        **kw), 0, reps=reps)
 
     # fwd+bwd at FULL resolution (the r2 half-res shortcut is gone):
     # gradients w.r.t. all scene parameters via (a) the fused path-replay
@@ -307,7 +313,8 @@ def bench_config5(quick):
         sd, cam, W, H, s0, SPP, block=BLK, interpret=interp, **kw),
         0, reps=reps)
     wg_render = wavefront_grad.make_wavefront_render_fn(
-        sd, cam, W, H, spp=SPP, block=BLK, interpret=interp, **kw)
+        sd, cam, W, H, spp=SPP, block=WBLK, qbits=WQ, interpret=interp,
+        **kw)
     wg_grad = jax.jit(lambda p, s0: jax.grad(
         lambda q: jnp.sum(wg_render(q, s0)))(p))
     dt_b_wav = timed(lambda s0: wg_grad(params, s0), jnp.int32(0),

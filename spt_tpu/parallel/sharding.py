@@ -111,6 +111,12 @@ def shard_scene_prims(scene: SceneData, n_shards: int) -> SceneData:
 # full copy.
 GATHER_TRANSIENT_BUDGET = 64 << 20
 
+# Below this many gathered rows, the gather strategy intersects with the
+# same vectorized all-pairs sweep the unsharded integrator uses (a tree
+# walk over a Cornell-sized scene costs more than it culls — the r3
+# config-6 proxy regression).
+GATHER_BRUTE_CAP = 512
+
 
 def _prim_transient_bytes(capacity: int) -> int:
     """Bytes of the gather strategy's per-chunk transient: the packed
@@ -153,16 +159,22 @@ def _pad_rows(a, n, fill=0):
 
 
 def _mini_bvhs(scene_p: SceneData, n_prim: int, shard_cap: int):
-    """Host-side per-shard mini BVHs for the ring, padded to a uniform
-    2*shard_cap node rows (the builder's worst case) so the ring payload
-    keeps a static shape.  Pad rows carry never-hit AABBs and skip
-    straight to the end; true exit links are remapped there too, so
-    traversal never walks the pad region."""
+    """Host-side per-shard mini BVHs for the ring, padded to the MAX
+    actual node count across shards (r3 padded to the builder's 2*cap
+    worst case — typically ~2x more rows than any real tree, all riding
+    every ppermute hop) so the ring payload keeps a static shape at the
+    smallest size that fits every shard.  Pad rows carry never-hit AABBs
+    and skip straight to the end; true exit links are remapped there
+    too, so traversal never walks the pad region."""
     import numpy as np
-    M = 2 * shard_cap
     c = np.asarray(scene_p.centers)
     r = np.asarray(scene_p.radii)
     v = np.asarray(scene_p.prim_valid)
+    built = []
+    for s in range(n_prim):
+        sl = slice(s * shard_cap, (s + 1) * shard_cap)
+        built.append(build_bvh(c[sl], r[sl], valid=v[sl]))
+    M = max(b.n_nodes for b in built)
     nodef = np.zeros((n_prim, M, 8), np.float32)
     nodef[:, :, 0:3] = np.inf
     nodef[:, :, 3:6] = -np.inf
@@ -170,9 +182,7 @@ def _mini_bvhs(scene_p: SceneData, n_prim: int, shard_cap: int):
     nodei[:, :, 0] = M
     pidx = np.zeros((n_prim, shard_cap), np.int32)
     max_leaf = 4
-    for s in range(n_prim):
-        sl = slice(s * shard_cap, (s + 1) * shard_cap)
-        b = build_bvh(c[sl], r[sl], valid=v[sl])
+    for s, b in enumerate(built):
         n = b.n_nodes
         nodef[s, :n, 0:3] = np.asarray(b.node_min)
         nodef[s, :n, 3:6] = np.asarray(b.node_max)
@@ -294,28 +304,50 @@ def _gather_program(mesh: Mesh, width: int, height: int, n_nodes: int,
         g = jax.lax.all_gather(chunk, "prim").reshape(-1, chunk.shape[1])
         c_full, r_full = g[:, 0:3], g[:, 3]
         mid_full = g[:, 4].astype(jnp.int32)
-        nodef = jax.lax.all_gather(nodef_sh, "prim").reshape(
-            -1, 8)[:n_nodes]
-        nodei = jax.lax.all_gather(nodei_sh, "prim").reshape(
-            -1, 4)[:n_nodes]
-        pidx = jax.lax.all_gather(pidx_sh, "prim").reshape(-1)[:n_idx]
-        bvh = BVH(node_min=nodef[:, 0:3], node_max=nodef[:, 3:6],
-                  node_skip=nodei[:, 0], node_first=nodei[:, 1],
-                  node_count=nodei[:, 2], prim_idx=pidx,
-                  n_nodes=n_nodes, max_leaf=max_leaf)
+        valid_full = g[:, 5] > 0.5
         cx, cy, cz = c_full[:, 0], c_full[:, 1], c_full[:, 2]
 
-        def gather_intersect(o, d):
-            t, hid = intersect_bvh_soa(o[:, 0], o[:, 1], o[:, 2],
-                                       d[:, 0], d[:, 1], d[:, 2],
-                                       cx, cy, cz, r_full, bvh)
-            lidx = jnp.maximum(hid, 0)
-            return (t, hid, c_full[lidx], r_full[lidx], mid_full[lidx])
+        if g.shape[0] <= GATHER_BRUTE_CAP:
+            # Small gathered scene: the vectorized all-pairs sweep beats a
+            # tree walk (exactly the unsharded integrator's own dispatch —
+            # using its intersect keeps the sharded render structurally
+            # AND bitwise aligned with the pixel-sharded baseline, which
+            # is what the config-6 proxy compares against; the r3 proxy
+            # regression came from walking a BVH over a 16-prim Cornell).
+            from ..core import intersect as I
 
-        def gather_occluded(o, d, tmax):
-            return occluded_bvh_soa(o[:, 0], o[:, 1], o[:, 2],
-                                    d[:, 0], d[:, 1], d[:, 2],
-                                    cx, cy, cz, r_full, bvh, tmax)
+            def gather_intersect(o, d):
+                t, hid = I.intersect_spheres(o, d, c_full, r_full,
+                                             valid_full)
+                lidx = jnp.maximum(hid, 0)
+                return (t, hid, c_full[lidx], r_full[lidx],
+                        mid_full[lidx])
+
+            def gather_occluded(o, d, tmax):
+                return I.occluded(o, d, c_full, r_full, valid_full, tmax)
+        else:
+            nodef = jax.lax.all_gather(nodef_sh, "prim").reshape(
+                -1, 8)[:n_nodes]
+            nodei = jax.lax.all_gather(nodei_sh, "prim").reshape(
+                -1, 4)[:n_nodes]
+            pidx = jax.lax.all_gather(pidx_sh, "prim").reshape(-1)[:n_idx]
+            bvh = BVH(node_min=nodef[:, 0:3], node_max=nodef[:, 3:6],
+                      node_skip=nodei[:, 0], node_first=nodei[:, 1],
+                      node_count=nodei[:, 2], prim_idx=pidx,
+                      n_nodes=n_nodes, max_leaf=max_leaf)
+
+            def gather_intersect(o, d):
+                t, hid = intersect_bvh_soa(o[:, 0], o[:, 1], o[:, 2],
+                                           d[:, 0], d[:, 1], d[:, 2],
+                                           cx, cy, cz, r_full, bvh)
+                lidx = jnp.maximum(hid, 0)
+                return (t, hid, c_full[lidx], r_full[lidx],
+                        mid_full[lidx])
+
+            def gather_occluded(o, d, tmax):
+                return occluded_bvh_soa(o[:, 0], o[:, 1], o[:, 2],
+                                        d[:, 0], d[:, 1], d[:, 2],
+                                        cx, cy, cz, r_full, bvh, tmax)
 
         def light_attrs(l_slot):
             return lc_rep[l_slot], lr_rep[l_slot], lmat_rep[l_slot]
@@ -428,9 +460,16 @@ def _ring_program(mesh: Mesh, width: int, height: int, shard_cap: int,
                 c = chunk[:, 0:3]
                 r = chunk[:, 3]
                 mid = chunk[:, 4].astype(jnp.int32)
-                t_loc, id_loc = intersect_bvh_soa(
-                    ox, oy, oz, dx, dy, dz, c[:, 0], c[:, 1], c[:, 2], r,
-                    chunk_bvh(nodef, nodei, pidx))
+                if shard_cap <= GATHER_BRUTE_CAP:
+                    # Small visiting chunk: all-pairs sweep, no tree walk
+                    # (see GATHER_BRUTE_CAP — same crossover).
+                    from ..core import intersect as I
+                    t_loc, id_loc = I.intersect_spheres(
+                        o, d, c, r, chunk[:, 5] > 0.5)
+                else:
+                    t_loc, id_loc = intersect_bvh_soa(
+                        ox, oy, oz, dx, dy, dz, c[:, 0], c[:, 1],
+                        c[:, 2], r, chunk_bvh(nodef, nodei, pidx))
                 better = (id_loc >= 0) & (t_loc < t_best)
                 src = (my_prim - h) % n_prim   # chunk's home device
                 lidx = jnp.maximum(id_loc, 0)
@@ -455,9 +494,14 @@ def _ring_program(mesh: Mesh, width: int, height: int, shard_cap: int,
                 (chunk, nodef, nodei, pidx), blocked = carry
                 c = chunk[:, 0:3]
                 r = chunk[:, 3]
-                blocked = blocked | occluded_bvh_soa(
-                    ox, oy, oz, dx, dy, dz, c[:, 0], c[:, 1], c[:, 2], r,
-                    chunk_bvh(nodef, nodei, pidx), tmax)
+                if shard_cap <= GATHER_BRUTE_CAP:
+                    from ..core import intersect as I
+                    blocked = blocked | I.occluded(
+                        o, d, c, r, chunk[:, 5] > 0.5, tmax)
+                else:
+                    blocked = blocked | occluded_bvh_soa(
+                        ox, oy, oz, dx, dy, dz, c[:, 0], c[:, 1],
+                        c[:, 2], r, chunk_bvh(nodef, nodei, pidx), tmax)
                 return spin((chunk, nodef, nodei, pidx)), blocked
 
             _, blocked = jax.lax.fori_loop(
