@@ -149,6 +149,15 @@ def main() -> int:
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
+    try:
+        import bench_suite
+        bench_suite.update_hwm({
+            "headline_fwd_bwd_rays_per_s": result["value"],
+            "headline_forward_rays_per_s": result["forward_only_rays_s"],
+            "headline_path_segments_only_rays_per_s":
+                result["value_path_segments_only"]})
+    except Exception as e:  # noqa: BLE001 — the bench line already printed
+        log(f"hwm update skipped: {e!r}")
     return 0
 
 

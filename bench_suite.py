@@ -46,6 +46,31 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def update_hwm(updates: dict):
+    """Raise BENCH_HWM.json marks for any metric a full run exceeded.
+
+    Marks only go UP: the perf gate compares fresh runs against the best
+    ever recorded (6% tolerance), so a slow round can never lower the bar
+    for the next one."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_HWM.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        doc = {"hwm": {}}
+    changed = False
+    for k, v in updates.items():
+        if v and v > doc["hwm"].get(k, 0):
+            doc["hwm"][k] = round(v)
+            changed = True
+    if changed:
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
+            f.write("\n")
+    return changed
+
+
 def timed(fn, *args, reps=3):
     """min wall-time of fn(*args) after a warmup call (compile)."""
     jax.block_until_ready(fn(*args))
@@ -383,6 +408,9 @@ def main():
         log(f"config {i} done in {time.time() - t0:.1f}s")
         print(json.dumps(r), flush=True)
         write_row(r)
+        if not args.quick:
+            update_hwm({f"config{i}_{k}": v for k, v in r.items()
+                        if k.endswith("rays_per_s")})
     log(f"wrote {out}")
     return 0
 

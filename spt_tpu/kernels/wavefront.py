@@ -1,73 +1,58 @@
-"""Sorted-wavefront renderer: bounce-split kernels + ray binning (large scenes).
+"""Sorted-wavefront renderer — the large-scene engine (split-bounce r4).
 
 The full-depth BVH megakernel (megakernel_bvh.py) packet-walks the tree with
 ONE scalar pointer per 1024-ray tile, so its culling is exactly as good as
 the packet is coherent: primary packets cull well, but after one diffuse
-bounce a 32x32-pixel packet's rays point everywhere and the walk degenerates
-toward a full-tree sweep.  This module is the designed fix (SURVEY.md §2.4 PP
-row; ARCHITECTURE.md §7): split the megakernel at bounce boundaries and
-re-sort the ray stream between bounces so every packet the kernel sees is
-coherent again.
+bounce a 32x32-pixel packet's rays point everywhere.  This module is the
+designed fix (SURVEY.md §2.4 PP row): split the render at bounce
+boundaries, re-sort the ray stream between bounces so every packet is
+coherent again, and do ALL structure culling in plain XLA between kernels
+so no Pallas kernel ever walks a tree:
 
-  raygen kernel -> [ sort by (alive, direction-octant, origin-morton)
-                     -> bounce-k kernel over the alive prefix ] x depth
-                 -> scatter-add by pixel id
+  raygen -> [ variadic sort (alive-first, octant, origin-morton)
+              -> XLA precull: per-lane slab tests vs every leaf block
+                 -> per-tile nearest-first candidate lists (SMEM)
+              -> intersect kernel: sync-free candidate sweep, winner
+                 residuals to HBM
+              -> XLA: reconstruct each lane's NEE shadow ray from the
+                 residuals (physics.nee_shadow_setup — bit-identical to
+                 the kernel's own reconstruction) and precull it with the
+                 light-distance bound
+              -> shade kernel: rebuilt-winner intersector (no traversal)
+                 + any-hit sweep of the shadow candidate list with a
+                 nearest-first distance cut
+            ] x depth
+         -> scatter-add by pixel id
 
-  The sort key is direction-major by default (octant in the high bits):
-  a packet then shares a direction octant and a few adjacent origin cells,
-  so its reachable set is a wedge the BVH walk can cull — origin-major
-  packets span all 8 octants and reach the whole scene.  Measured on the
-  10k-prim 1080p config (r2, block=32): 8.75s dir-major vs 11.07s
-  origin-major vs 22.5s unsorted (tools/sweep_config5.py).
+r4 findings that shaped this (all measured on config 5, 10k prims, 1080p,
+tools/profile_wavefront2.py + sweep_config5.py):
 
-  r3 findings baked into the defaults (all measured on the same config):
-  * the walk is SYNC-bound per node, so TPU callers use fat leaf blocks
-    (block 32/64/128/256 = 9.41/7.89/7.08/6.69 s; block is a parameter,
-    interpret-mode tests keep 32 for short unrolls);
-  * fine direction bits in the key (``dbits``) HURT here (+18%) and
-    additionally mis-render ~4% of pixels on real hardware (see the
-    D_BITS comment) — default 0;
-  * sorting less often (``sort_every=2``) or at row granularity
-    (``rowsort=True``, 512-byte contiguous gathers at ~10x lower sort
-    cost) both LOSE overall (7.5s / 15.2s): per-ray coherence is
-    load-bearing, so the full argsort+gather (~0.22 s per 4M-ray sort,
-    ~3.1 s of the 6.7 s wall) stays the default.
+* The r3 in-kernel walk was a serial per-node scalar dependence chain
+  (~1 us/node); replacing nearest-hit traversal with the XLA precull +
+  candidate sweep removed it, at which point the NEE occlusion walk was
+  60-87% of every bounce kernel — hence the shadow precull and the
+  cell-keyed light selection (physics.LSEL_CELLS) that makes a tile's
+  shadow rays one narrow cone.
+* The sort: argsort is cheap (15 ms @ 4M rays); the per-channel
+  permutation GATHER was the cost (157 ms, 4-byte random loads).  One
+  variadic lax.sort carrying all 19 channels runs 80 ms (the transposed
+  row-gather loses too: its (r, 21) layout pads to 128 lanes).  Late
+  sorts are skipped once the alive population falls under
+  ``sort_min_rays`` (the sort costs full-stream regardless of
+  aliveness; the kernels already track the alive prefix).
+* Blocks: with the walk gone, finer leaf blocks win again —
+  block=128 + qbits=5 measures 3.17 s vs r3's 6.69 s (walk, block=256).
+* ``dbits`` (direction-magnitude sort bits) still lose (4.02 s) and
+  ``sort_every=2`` still loses (4.51 s): origin coherence is
+  load-bearing for the precull exactly as it was for the walk.
 
-* **One bounce per pallas_call, state in HBM.**  Ray state is a single
-  (17, R/128, 128) f32 tensor (o, d, throughput, radiance, prev-pdf, alive,
-  prev-specular, in-image, missed-this-bounce) plus a (2, R/128, 128) i32
-  tensor (pixel id, sample id).
-
-* **Environment maps ride the bounce boundary.**  In SKY_ENVMAP mode the
-  kernel flags miss lanes (C_MISS) instead of shading them; the XLA glue
-  between bounce kernels adds ``throughput * bilinear_env(direction)`` on
-  those lanes (texture gathers stay out of Mosaic, where dynamic per-lane
-  gathers are hostile).  This closes the last pallas-backend fallback: env
-  scenes render at kernel speed.  Each grid step processes an (8, 128) tile: the same packet
-  traversal and shared bounce physics as the megakernel
-  (physics.trace_bounce with the BVH intersectors plugged in), with the
-  bounce index k static per call so RNG dimensions stay compile-time.
-
-* **Sorting IS wavefront compaction** (the P5 strategy): the key orders
-  alive rays first, so Russian-roulette casualties collect into all-dead
-  tiles past a per-bounce alive-prefix boundary.  The boundary is a
-  scalar-prefetch value that the block index maps consume: grid steps past
-  it redirect their input AND output blocks to a single pad tile, so the
-  Mosaic pipeline emitter elides their DMAs (consecutive equal block
-  indices), and the dead suffix costs neither HBM traffic nor compute —
-  its state is preserved in place because the state tensor is
-  input/output-aliased through the kernel.  No dynamic shapes anywhere —
-  the "queue" is the sorted prefix of a static-shape stream.
-
-* **Permutation-safe by construction.**  Every sample site keys its RNG on
-  the (pixel, sample) ids *carried with the ray* (core/rng.py counter
-  streams), so any permutation of the stream — including none — produces
-  bit-identical radiance per ray.  tests/test_wavefront.py pins sorted ==
-  unsorted == megakernel.
-
-* **The scatter at the end is tiny**: radiance rides with the ray and is
-  scatter-added into the (H*W + 1)-slot image once per chunk (out-of-image
-  padding lanes dump into the extra slot).
+Invariants: every sample site keys its RNG on the (pixel, sample) ids
+carried with the ray plus, for the light pick, the shading-point cell —
+all pure functions, so any permutation of the stream produces identical
+radiance per ray (tests/test_wavefront.py pins sorted == unsorted ==
+megakernel, split == fused).  Compaction is the sort itself: RR
+casualties sort past an alive-prefix boundary whose grid steps redirect
+to a pad tile (DMAs elided; state preserved through the in/out alias).
 
 The reference's analog of this whole file is the serial per-pixel loop at
 /root/reference/libs/render/src/engines/pathtracer/backends/cpu/

@@ -3,9 +3,15 @@ benchmark-with-tolerance harness at architecture-redesign-gameplan.md:1031-1058
 but never implemented it; this is that harness, live).
 
 Gated on SPT_TEST_TPU=1 — throughput assertions are only meaningful on the
-real chip; the default CPU suite skips them.  The recorded floor for each
-config comes from BENCH_SUITE.json committed at the repo root, derated by
-the reference's own 1.1x regression bound (gameplan.md:1044: "within 10%").
+real chip; the default CPU suite skips them.
+
+r4 change (VERDICT r3 weak #5): the floor for each metric is the HIGH-WATER
+MARK ever recorded (BENCH_HWM.json, raised automatically by full
+bench_suite runs), derated by 6% — not the previous round's recording
+derated by 10%, under which a 6% drift per round passed silently forever.
+The headline gate also checks the PATH-SEGMENTS-ONLY accounting against
+its own mark, so the 500M BASELINE floor cannot silently lean on NEE
+shadow-ray counting.
 """
 
 import json
@@ -18,41 +24,57 @@ pytestmark = pytest.mark.skipif(
     not TPU, reason="throughput gate needs the real TPU (SPT_TEST_TPU=1)")
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DERATE = 1.1  # the reference's aspirational tolerance
+DERATE = 1.06  # fail on >6% regression from the best ever recorded
 
 
-def _recorded():
-    with open(os.path.join(_ROOT, "BENCH_SUITE.json")) as f:
-        return {r["config"]: r for r in json.load(f)}
+def _hwm():
+    with open(os.path.join(_ROOT, "BENCH_HWM.json")) as f:
+        return json.load(f)["hwm"]
+
+
+def _check(now: float, key: str):
+    mark = _hwm().get(key)
+    if not mark:
+        pytest.skip(f"no high-water mark for {key}")
+    assert now * DERATE >= mark, (
+        f"{key} regression: {now:.4g} < {mark:.4g}/{DERATE} "
+        f"(high-water mark in BENCH_HWM.json)")
 
 
 def test_cornell_forward_throughput():
-    """Config 2 forward rays/s must stay within 1.1x of the recorded run.
-
-    Runs at the *recorded* spp (quick=False) so fixed dispatch overhead is
-    amortized identically on both sides of the comparison; a quick-mode
-    recording is skipped rather than compared apples-to-oranges.
-    """
+    """Config 2 forward rays/s vs its high-water mark (6% tolerance)."""
     import bench_suite
     bench_suite.enable_compile_cache()  # TPU-serialized entries only here
-    rec = _recorded().get(2)
-    if rec is None or "rays_per_s" not in rec:
-        pytest.skip("no recorded config-2 number")
-    if rec.get("quick"):
-        pytest.skip("recorded config-2 row is quick-mode; re-record full")
     now = bench_suite.bench_config2(quick=False)
-    assert now["spp"] == rec.get("spp", now["spp"]), \
-        "recorded spp differs; re-record BENCH_SUITE.json"
-    assert now["rays_per_s"] * DERATE >= rec["rays_per_s"], (
-        f"forward regression: {now['rays_per_s']:.3g} < "
-        f"{rec['rays_per_s']:.3g}/1.1")
+    bench_suite.update_hwm({"config2_rays_per_s": now["rays_per_s"]})
+    _check(now["rays_per_s"], "config2_rays_per_s")
 
 
 def test_fwd_bwd_meets_baseline_target():
     """The headline metric must hold the BASELINE.md 500M rays/s floor,
-    undiluted, at the recorded (full) spp."""
+    undiluted, at the recorded (full) spp — and stay within 6% of its
+    high-water mark under BOTH ray accountings."""
     import bench_suite
     bench_suite.enable_compile_cache()  # TPU-serialized entries only here
     now = bench_suite.bench_config3(quick=False)
     assert now["fwd_bwd_rays_per_s"] >= 500e6, (
         f"fwd+bwd {now['fwd_bwd_rays_per_s']:.3g} below the 500M target")
+    bench_suite.update_hwm(
+        {"config3_fwd_rays_per_s": now.get("fwd_rays_per_s"),
+         "config3_fwd_bwd_rays_per_s": now["fwd_bwd_rays_per_s"]})
+    _check(now["fwd_bwd_rays_per_s"], "config3_fwd_bwd_rays_per_s")
+    if "fwd_rays_per_s" in now:
+        _check(now["fwd_rays_per_s"], "config3_fwd_rays_per_s")
+
+
+def test_config5_throughput():
+    """The 10k-prim wavefront forward/backward vs their high-water marks —
+    the metric VERDICT r2/r3 tracked round over round."""
+    import bench_suite
+    bench_suite.enable_compile_cache()
+    now = bench_suite.bench_config5(quick=False)
+    bench_suite.update_hwm(
+        {"config5_fwd_rays_per_s": now["fwd_rays_per_s"],
+         "config5_fwd_bwd_rays_per_s": now["fwd_bwd_rays_per_s"]})
+    _check(now["fwd_rays_per_s"], "config5_fwd_rays_per_s")
+    _check(now["fwd_bwd_rays_per_s"], "config5_fwd_bwd_rays_per_s")
