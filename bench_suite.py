@@ -189,10 +189,13 @@ def bench_config2(quick):
     sd = cornell(ggx=False).compile()
     cam = Camera.look_at((0, 1.0, -1.5), (0, 1.0, 3.0), fov_degrees=55)
     W = H = 512
-    SPP = 16 if quick else 64
+    # 256 spp: the 64-spp wall (~0.13 s) jittered +-20% run to run through
+    # the remote-execute tunnel, which no regression gate can sit on.
+    SPP = 16 if quick else 256
     kw = dict(max_bounces=8, rr_depth=3, use_nee=True, use_mis=False, seed=2)
     segs = count_segments(sd, cam, kw)
-    dt = timed(lambda s0: megakernel.render_tiles(sd, cam, W, H, s0, SPP, **kw), 0)
+    dt = timed(lambda s0: megakernel.render_tiles(sd, cam, W, H, s0, SPP, **kw), 0,
+               reps=5)
     rays = SPP * segs * W * H
     return {"config": 2, "name": "Cornell Lambert+NEE 512^2 d8 (pallas fwd)",
             "spp": SPP, "quick": quick,
@@ -206,12 +209,12 @@ def bench_config3(quick):
     sd = cornell(ggx=True).compile()
     cam = Camera.look_at((0, 1.0, -1.5), (0, 1.0, 3.0), fov_degrees=55)
     W = H = 512
-    SPP_F = 16 if quick else 64
+    SPP_F = 16 if quick else 256   # long walls; see bench_config2's note
     SPP_B = 64 if quick else 256
     kw = dict(max_bounces=8, rr_depth=3, use_nee=True, use_mis=True, seed=3)
     segs = count_segments(sd, cam, kw)
     dt_f = timed(lambda s0: megakernel.render_tiles(sd, cam, W, H, s0, SPP_F,
-                                                    **kw), 0)
+                                                    **kw), 0, reps=5)
     dt_b = timed(lambda s0: megakernel_grad.render_and_grad(
         sd, cam, W, H, s0, SPP_B, **kw), 0)
     return {"config": 3, "name": "Cornell GGX+MIS 512^2 d8",

@@ -69,7 +69,7 @@ for key in params:
     scale = np.abs(b).max() + 1e-6
     err = np.abs(a - b).max() / scale
     stats[key] = round(float(err), 5)
-    ok = ok and np.isfinite(a).all() and err < 3e-2
+    ok = bool(ok and np.isfinite(a).all() and err < 3e-2)
 print(json.dumps({"check": "wavefront-grad-parity-300prim-64px",
                   "fwd_frac_agree": round(float(agree.mean()), 4),
                   "rel_grad_err_by_field": stats, "ok": ok}), flush=True)

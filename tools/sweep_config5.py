@@ -37,14 +37,12 @@ def main():
     interp = jax.default_backend() != "tpu"
 
     variants = [
-        ("split dbits2", dict(sort_every=1, dir_major=True, dbits=2,
-                              block=256, split=True)),
+        ("split b256", dict(sort_every=1, dir_major=True, dbits=0,
+                            block=256, split=True)),
         ("split qbits5", dict(sort_every=1, dir_major=True, dbits=0,
                               qbits=5, block=256, split=True)),
-        ("split se2", dict(sort_every=2, dir_major=True, dbits=0,
-                           block=256, split=True)),
-        ("split b128", dict(sort_every=1, dir_major=True, dbits=0,
-                            block=128, split=True)),
+        ("split b128 qbits5", dict(sort_every=1, dir_major=True, dbits=0,
+                                   qbits=5, block=128, split=True)),
         # r2 key sweep (block=32): origin-major 11.07s / no-sort 22.5s /
         # dir-major 8.75s.  r3 found the walk SYNC-bound per node, so the
         # leaf block width became the dominant knob (32/64/128/256 =
