@@ -24,16 +24,21 @@ from .api import JaxPathTracer, register_backend
 # pure-JAX backend's BVH path.
 MAX_PALLAS_PRIMS = 128
 
-# Leaf-block width for the packet-BVH engines: the walk is sync-bound per
-# node on hardware, so big scenes want few fat leaf blocks (config-5 sweep:
-# block 32/64/128/256 = 9.41/7.89/7.08/6.69 s) — while interpret-mode
-# tests want short unrolls.
+# Leaf-block width: the in-kernel WALK (megakernel_bvh) is sync-bound per
+# node on hardware and wants fat leaves (r3 sweep: block 32/64/128/256 =
+# 9.41/7.89/7.08/6.69 s), while the r4 split WAVEFRONT has no walk and its
+# candidate sweeps want finer culling (r4 sweep: b128+qbits5 3.17 s vs
+# b256 3.29 s).  Interpret-mode tests want short unrolls either way.
 TPU_LEAF_BLOCK = 256
+TPU_WAVEFRONT_BLOCK = 128
+TPU_WAVEFRONT_QBITS = 5
 
 
-def _leaf_block(capacity: int, on_tpu: bool) -> int:
+def _leaf_block(capacity: int, on_tpu: bool, wavefront: bool = False) -> int:
     from ..kernels.megakernel_bvh import BLOCK
-    return TPU_LEAF_BLOCK if (on_tpu and capacity > 2048) else BLOCK
+    if on_tpu and capacity > 2048:
+        return TPU_WAVEFRONT_BLOCK if wavefront else TPU_LEAF_BLOCK
+    return BLOCK
 
 
 def _on_tpu() -> bool:
@@ -59,7 +64,10 @@ class PallasPathTracer(JaxPathTracer):
                 spp, max_bounces=s.max_bounces,
                 rr_depth=s.russian_roulette_depth, use_nee=s.use_nee,
                 use_mis=s.use_mis, seed=s.seed,
-                block=_leaf_block(self._scene_data.capacity, _on_tpu()),
+                block=_leaf_block(self._scene_data.capacity, _on_tpu(),
+                                  wavefront=True),
+                qbits=(TPU_WAVEFRONT_QBITS if _on_tpu()
+                       else wavefront.Q_BITS),
                 interpret=not _on_tpu())
         if self._scene_data.capacity > MAX_PALLAS_PRIMS:
             # Large scenes: the BVH traversal megakernel.
