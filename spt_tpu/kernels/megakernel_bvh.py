@@ -764,6 +764,275 @@ def _cand_sweep_anyhit(prim_ref, scand_ref, sctn_ref, ox, oy, oz, dx, dy,
     return blocked > 0.5
 
 
+# ---------------------------------------------------------------------------
+# r5 MXU-form candidate sweeps (per-row lists, matmul quadratic terms)
+# ---------------------------------------------------------------------------
+
+def build_cmat(prims):
+    """Precompute the per-block MXU operand tables (XLA side, once/scene).
+
+    The r4 sweeps are pure VPU FLOPs — ~33 vector ops per (sphere, lane)
+    pair (VERDICT r4 missing #1: the config-5 wall).  The r5 sweeps move
+    the quadratic's linear terms onto the MXU: for a ray row with
+    A = [dx dy dz 0 | o'x o'y o'z 1] (8, 128) and this table
+    Cmat[blk] (8, 2B) with columns
+
+        j      < B:  [ c'x  c'y  c'z  0 |   0     0     0    0   ]
+        j + B >= B:  [  0    0    0   0 | -2c'x -2c'y -2c'z c2r2']
+
+    one (2B, 128) = dot(Cmat[blk]^T, A) yields b = d.(c - o) (top half,
+    after subtracting d.o') and |oc|^2 - r^2 (bottom half, after adding
+    |o'|^2) for ALL B spheres x 128 lanes at once.
+
+    Primes are BLOCK-CENTERED coordinates: c' = c - ctr_blk, and the
+    kernel shifts o the same way.  This is the tile-local re-centering
+    that makes the expanded (matmul) form's cancellation error match the
+    compact form's (core/intersect.py caveat): the catastrophic case is
+    |o|,|c| >> |oc|, and after centering |c'| <= block half-diagonal
+    while |o'| is the genuine ray-to-block distance — the same magnitude
+    the compact form squares.  Invalid padding slots (mid < 0) get
+    c2r2' = BIG so their discriminant is always negative.
+
+    Returns (cmat (nb, 8, 2B) f32, bctr (nb, 3) f32).
+    """
+    nb, _, block = prims.shape
+    valid = prims[:, 4, :] >= 0.0                      # (nb, B)
+    c = prims[:, 0:3, :]                               # (nb, 3, B)
+    r = prims[:, 3, :]
+    big = jnp.float32(3e38)
+    lo = jnp.min(jnp.where(valid[:, None, :], c, big), axis=2)
+    hi = jnp.max(jnp.where(valid[:, None, :], c, -big), axis=2)
+    any_valid = jnp.any(valid, axis=1)
+    ctr = jnp.where(any_valid[:, None], 0.5 * (lo + hi), 0.0)  # (nb, 3)
+    cp = jnp.where(valid[:, None, :], c - ctr[:, :, None], 0.0)
+    c2r2 = jnp.where(valid, jnp.sum(cp * cp, axis=1) - r * r, big)
+    z1 = jnp.zeros((nb, 1, block), jnp.float32)
+    z4 = jnp.zeros((nb, 4, block), jnp.float32)
+    top = jnp.concatenate([cp, z1, z4], axis=1)        # (nb, 8, B)
+    bot = jnp.concatenate([z4, -2.0 * cp, c2r2[:, None, :]], axis=1)
+    return jnp.concatenate([top, bot], axis=2), ctr    # (nb, 8, 2B)
+
+
+_DOT_HI = jax.lax.Precision.HIGHEST   # f32-grade MXU passes: winner
+                                      # selection must not lose mantissa
+                                      # bits to bf16 3-pass emulation
+
+
+def _row_quadratic(cmat_ref, bctr_ref, blk, dxr, dyr, dzr, oxr, oyr, ozr):
+    """One MXU dot -> (b, cterm) for all (B spheres x 128 lanes) of a row."""
+    cx = bctr_ref[blk, 0]
+    cy = bctr_ref[blk, 1]
+    cz = bctr_ref[blk, 2]
+    opx, opy, opz = oxr - cx, oyr - cy, ozr - cz        # o' = o - ctr
+    a8 = jnp.concatenate(
+        [dxr, dyr, dzr, jnp.zeros_like(dxr), opx, opy, opz,
+         jnp.ones_like(dxr)], axis=0)                   # (8, 128)
+    out = jax.lax.dot_general(
+        cmat_ref[blk], a8, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_DOT_HI)  # (2B, 128)
+    bdim = out.shape[0] // 2
+    dor = dxr * opx + dyr * opy + dzr * opz             # d.o'  (1, 128)
+    o2 = opx * opx + opy * opy + opz * opz              # |o'|^2
+    b = out[:bdim] - dor
+    cterm = out[bdim:] + o2
+    return b, cterm
+
+
+def _cand_sweep_nearest_rows(prim_ref, cmat_ref, bctr_ref, cand_ref,
+                             ctn_ref, ox, oy, oz, dx, dy, dz, active, block,
+                             max_cand, with_ids=False, tcull=True):
+    """Nearest-hit sweep over PER-ROW candidate lists, MXU quadratic form.
+
+    Same contract as ``_cand_sweep_nearest`` but ``cand_ref``/``ctn_ref``
+    are (1, 8, max_cand + 1) / (1, 8, max_cand): each 128-lane row sweeps
+    its OWN nearest-first list (wavefront._precull_rays per_row=True).
+    Winner selection per block is a min-reduce over the sphere axis plus
+    a one-hot attribute-extraction matmul against the global prim table —
+    replacing the per-sphere select chain.  Ties resolve exactly like the
+    scalar sweep: lowest candidate index first, lowest slot first.
+
+    The distance cut stays TILE-level (one vector->scalar sync per swept
+    iteration — per-row scalar cuts would cost 8 syncs/iter, the r3
+    walk's poison); rows stop individually when their lists end.
+    """
+    nrows = ox.shape[0]
+    lanes = ox.shape[1]
+    zero = jnp.zeros((1, lanes), jnp.float32)
+    neg = jnp.full((1, lanes), -1.0)
+    bigf = jnp.float32(BIG)
+    iota0 = jax.lax.broadcasted_iota(jnp.int32, (block, lanes), 0)
+    iota_row = jax.lax.broadcasted_iota(
+        jnp.int32, (1, block), 1).astype(jnp.float32)   # slot ids (Mosaic
+                                                        # has no f32 iota)
+    counts = [cand_ref[0, r, 0] for r in range(nrows)]
+    n_attr = 6
+
+    def cond(c):
+        i, _tpack = c[0], c[1]
+        want = (i < counts[0])
+        for r in range(1, nrows):
+            want = want | (i < counts[r])
+        return want & (c[1] > c[2])   # tpack > best list bound seen
+
+    def body(c):
+        i, t_pack, _nxt = c[0], c[1], c[2]
+        ts = list(c[3])
+        ws = list(c[4])
+        nxt = jnp.float32(BIG)
+        for r in range(nrows):
+            dxr, dyr, dzr = dx[r:r+1], dy[r:r+1], dz[r:r+1]
+            oxr, oyr, ozr = ox[r:r+1], oy[r:r+1], oz[r:r+1]
+            act_r = active[r:r+1]
+
+            def do_row(op):
+                t_r, w_r = op
+                blk = cand_ref[0, r, i + 1]
+                b, cterm = _row_quadratic(cmat_ref, bctr_ref, blk,
+                                          dxr, dyr, dzr, oxr, oyr, ozr)
+                disc = b * b - cterm
+                pos = disc > 0.0
+                sq = jnp.sqrt(jnp.maximum(jnp.where(pos, disc, 1.0),
+                                          1e-12))
+                t0 = b - sq
+                tj = jnp.where(t0 > TMIN, t0, b + sq)
+                okm = pos & (tj > TMIN) & act_r
+                tv = jnp.where(okm, tj, bigf)
+                tmin = jnp.min(tv, axis=0, keepdims=True)      # (1, 128)
+                jsel = jnp.min(jnp.where(tv == tmin, iota0, block),
+                               axis=0, keepdims=True)
+                onehot = ((iota0 == jsel) & (tmin < bigf)
+                          ).astype(jnp.float32)
+                p6 = jnp.concatenate([prim_ref[blk], iota_row], axis=0)
+                attrs = jax.lax.dot_general(
+                    p6, onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_DOT_HI)                         # (6, 128)
+                better = tmin < t_r
+                t_r = jnp.where(better, tmin, t_r)
+                bsel = jnp.where(better, attrs, w_r[:n_attr])
+                blk_r = jnp.where(better[0:1],
+                                  jnp.full((1, lanes),
+                                           blk.astype(jnp.float32)),
+                                  w_r[n_attr:n_attr + 1])
+                return t_r, jnp.concatenate([bsel, blk_r], axis=0)
+
+            ts[r], ws[r] = jax.lax.cond(
+                i < counts[r], do_row, lambda op: op, (ts[r], ws[r]))
+            nxt = jnp.minimum(
+                nxt, jnp.where(i + 1 < counts[r],
+                               ctn_ref[0, r, jnp.minimum(i + 1,
+                                                         max_cand - 1)],
+                               jnp.float32(BIG)))
+        if tcull:
+            tall = jnp.where(active[0:1], ts[0], zero)
+            for r in range(1, nrows):
+                tall = jnp.maximum(tall, jnp.where(active[r:r+1], ts[r],
+                                                   zero))
+            t_pack = jnp.minimum(t_pack, jnp.max(tall))
+        return (i + 1, t_pack, nxt, tuple(ts), tuple(ws))
+
+    t0s = tuple(jnp.full((1, lanes), BIG) for _ in range(nrows))
+    w0s = tuple(jnp.zeros((n_attr + 1, lanes), jnp.float32)
+                for _ in range(nrows))
+    init = (jnp.int32(0), jnp.float32(BIG), jnp.float32(-BIG), t0s, w0s)
+    out = jax.lax.while_loop(cond, body, init)
+    ts, ws = out[3], out[4]
+    t = jnp.concatenate(ts, axis=0)
+    hit = t < bigf
+    res = []
+    for a in range(n_attr + 1):       # cx cy cz r mid slot blk
+        res.append(jnp.concatenate([w[a:a+1] for w in ws], axis=0))
+    hcx, hcy, hcz, hr, hmid, hslot, hblk = res
+    hmid = jnp.where(hit, hmid, -1.0)
+    if with_ids:
+        return t, hcx, hcy, hcz, hr, hmid, hblk, hslot
+    return t, hcx, hcy, hcz, hr, hmid
+
+
+def _seg_blocked(b, cterm, tmax_r, need_r):
+    """Exact sqrt-free segment-vs-sphere occlusion test (any-hit).
+
+    Boolean translation of ``tj = t0 if t0 > TMIN else t1;
+    blocked = pos & (tj > TMIN) & (tj < tmax)`` with sq eliminated:
+    t0 > TMIN  <=>  p > 0 and disc < p^2   (p = b - TMIN)
+    t0 < tmax  (under t0 <= TMIN: trivially true)
+    t1 > TMIN  <=>  p > 0 or  disc > p^2
+    t1 < tmax  <=>  q < 0 and disc < q^2   (q = b - tmax)
+    Strict inequalities preserved; this removes the sqrt (the VPU's
+    slowest op in the r4 any-hit) and every select.  Boundary-ulp
+    behavior differs from the sqrt form only where float sqrt rounding
+    itself decided the compare — all wavefront/megakernel_bvh engines
+    share this one implementation so within-family parity stays exact.
+    """
+    disc = b * b - cterm
+    pos = disc > 0.0
+    p = b - TMIN
+    q = b - tmax_r
+    pp = p * p
+    qq = q * q
+    t0_gt = (p > 0.0) & (disc < pp)
+    t0_lt = (q < 0.0) | (disc > qq)
+    t1_ok = ((p > 0.0) | (disc > pp)) & ((q < 0.0) & (disc < qq))
+    return pos & ((t0_gt & t0_lt) | ((~t0_gt) & t1_ok)) & need_r
+
+
+def _cand_sweep_anyhit_rows(prim_ref, cmat_ref, bctr_ref, scand_ref,
+                            sctn_ref, ox, oy, oz, dx, dy, dz, need, tmax,
+                            block, max_cand):
+    """Any-hit sweep over PER-ROW shadow candidate lists, MXU + sqrt-free.
+
+    Contract matches ``_cand_sweep_anyhit``; ``scand_ref``/``sctn_ref``
+    are per-row (1, 8, max_cand + 1) / (1, 8, max_cand).  The r4 profile
+    put the per-TILE shadow unions at 45-52 of 64 blocks; per-row lists
+    shrink both the unions and the nearest-first distance cut's reach.
+    The distance cut and the all-blocked early exit evaluate at tile
+    level (one vector->scalar sync each per iteration).
+    """
+    nrows = ox.shape[0]
+    lanes = ox.shape[1]
+    zerof = jnp.float32(0.0)
+    counts = [scand_ref[0, r, 0] for r in range(nrows)]
+
+    def t_need_of(blk_rows):
+        m = jnp.zeros((1, lanes), jnp.float32)
+        for r in range(nrows):
+            m = jnp.maximum(m, jnp.where(need[r:r+1] & (blk_rows[r] < 0.5),
+                                         tmax[r:r+1], zerof))
+        return jnp.max(m)
+
+    def cond(c):
+        i, t_need = c[0], c[1]
+        want = jnp.bool_(False)
+        for r in range(nrows):
+            want = want | ((i < counts[r])
+                           & (sctn_ref[0, r, jnp.minimum(i, max_cand - 1)]
+                              < t_need))
+        return want & (t_need > zerof)
+
+    def body(c):
+        i, _tn = c[0], c[1]
+        bl = list(c[2])
+        for r in range(nrows):
+            def do_row(b_r):
+                blk = scand_ref[0, r, i + 1]
+                b, cterm = _row_quadratic(
+                    cmat_ref, bctr_ref, blk, dx[r:r+1], dy[r:r+1],
+                    dz[r:r+1], ox[r:r+1], oy[r:r+1], oz[r:r+1])
+                hit = _seg_blocked(b, cterm, tmax[r:r+1], need[r:r+1])
+                anyhit = jnp.max(hit.astype(jnp.float32), axis=0,
+                                 keepdims=True)
+                return jnp.maximum(b_r, anyhit)
+
+            bl[r] = jax.lax.cond(i < counts[r], do_row, lambda b_r: b_r,
+                                 bl[r])
+        return (i + 1, t_need_of(bl), tuple(bl))
+
+    bl0 = tuple(jnp.zeros((1, lanes), jnp.float32) for _ in range(nrows))
+    _, _, bl = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t_need_of(bl0), bl0))
+    return jnp.concatenate(bl, axis=0) > 0.5
+
+
 def _packet_obase(dx, dy, dz, active, n_nodes):
     """Scalar row offset of the octant-ordered node table for this packet.
 

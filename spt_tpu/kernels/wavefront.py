@@ -79,8 +79,9 @@ from .megakernel import _SKY_OFF
 from ..core.materials import DIELECTRIC
 from .megakernel_bvh import (BIG, BLOCK, TMIN, _MAT_OFF, _MAT_STRIDE, TILE,
                              TILE_LANES, TILE_ROWS, TW, TH,
-                             _cand_sweep_anyhit, _cand_sweep_nearest,
-                             _make_intersectors, _packed)
+                             _cand_sweep_anyhit, _cand_sweep_anyhit_rows,
+                             _cand_sweep_nearest, _cand_sweep_nearest_rows,
+                             _make_intersectors, _packed, build_cmat)
 from .megakernel_bvh_grad import _read_mats, _rebuilt_intersect
 from .megakernel_grad import _raygen, _uniforms
 
@@ -281,7 +282,7 @@ def _leaf_block_bounds(prims):
     return lo, hi
 
 
-def _precull_rays(o3, d3, act, tmax, lob, hib, n_tiles):
+def _precull_rays(o3, d3, act, tmax, lob, hib, n_tiles, per_row=False):
     """Per-ray slab precull of arbitrary rays -> per-tile candidate lists.
 
     Generalized core of ``_precull``: ``o3``/``d3`` are 3-tuples of
@@ -290,6 +291,15 @@ def _precull_rays(o3, d3, act, tmax, lob, hib, n_tiles):
     distance — it makes shadow lists far tighter than the nearest-hit
     lists, whose bound is unknown before intersection).  Returns
     (cand, ctn) in the kernel SMEM layout (see ``_precull``).
+
+    ``per_row`` (r5) aggregates per 128-lane ROW instead of per 1024-lane
+    tile: a sorted row spans 1/8th of the tile's morton range, so its
+    candidate union and nearest-first distance bounds are much tighter —
+    the r4 profile's per-tile shadow unions averaged 45-52 of 64 blocks
+    (ARCHITECTURE.md); rows cut both the list lengths and how far the
+    in-kernel distance cut lets the sweep run.  Layout becomes
+    (n_tiles+1, 8, nb+1) / (n_tiles+1, 8, nb) — the (8, cols) trailing
+    dims still satisfy Mosaic's last-two-dims rule.
     """
     nb = lob.shape[0]
     chunk = PRECULL_TILE_CHUNK
@@ -307,6 +317,8 @@ def _precull_rays(o3, d3, act, tmax, lob, hib, n_tiles):
     d3 = tuple(grab(v) for v in d3)
     act = grab(act)
     tmax = grab(tmax) if tmax is not None else None
+    glen = TILE_LANES if per_row else TILE           # aggregation group
+    n_grp = TILE // glen                             # groups per tile
 
     def one_chunk(args):
         def live(args):
@@ -327,18 +339,19 @@ def _precull_rays(o3, d3, act, tmax, lob, hib, n_tiles):
             if tm is not None:
                 hit = hit & (tn < tm[:, :, None])
             tnc = jnp.where(hit, jnp.maximum(tn, 0.0), big)
-            tile_tn = jnp.min(tnc, axis=1)                  # (chunk, nb)
-            order = jnp.argsort(tile_tn, axis=-1)
-            s_tn = jnp.take_along_axis(tile_tn, order, axis=-1)
-            n_cand = jnp.sum((tile_tn < big).astype(jnp.int32), axis=-1)
+            grp_tn = jnp.min(tnc.reshape(chunk, n_grp, glen, nb), axis=2)
+            order = jnp.argsort(grp_tn, axis=-1)
+            s_tn = jnp.take_along_axis(grp_tn, order, axis=-1)
+            n_cand = jnp.sum((grp_tn < big).astype(jnp.int32), axis=-1)
             ids = jnp.where(s_tn < big, order.astype(jnp.int32), -1)
-            return jnp.concatenate([n_cand[:, None], ids], axis=1), s_tn
+            return (jnp.concatenate([n_cand[..., None], ids], axis=-1),
+                    s_tn)
 
         def dead(args):
             return (jnp.concatenate(
-                [jnp.zeros((chunk, 1), jnp.int32),
-                 jnp.full((chunk, nb), -1, jnp.int32)], axis=1),
-                jnp.full((chunk, nb), big))
+                [jnp.zeros((chunk, n_grp, 1), jnp.int32),
+                 jnp.full((chunk, n_grp, nb), -1, jnp.int32)], axis=-1),
+                jnp.full((chunk, n_grp, nb), big))
 
         # Post-compaction, whole chunks of tiles are dead (the sorted
         # suffix); the slab-test block is the precull's entire cost, so
@@ -347,19 +360,19 @@ def _precull_rays(o3, d3, act, tmax, lob, hib, n_tiles):
         return jax.lax.cond(jnp.any(args[2] > 0.5), live, dead, args)
 
     cand, ctn = jax.lax.map(one_chunk, (o3, d3, act, tmax))
-    cand = cand.reshape(n_chunks * chunk, nb + 1)[:n_tiles + 1]
-    ctn = ctn.reshape(n_chunks * chunk, nb)[:n_tiles + 1]
+    cand = cand.reshape(n_chunks * chunk, n_grp, nb + 1)[:n_tiles + 1]
+    ctn = ctn.reshape(n_chunks * chunk, n_grp, nb)[:n_tiles + 1]
     # Pad tile: empty list (its grid steps are skipped anyway).
     cand = cand.at[n_tiles].set(
-        jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                         jnp.full((nb,), -1, jnp.int32)]))
-    # 3-D (rows, 1, cols): the Mosaic lowering requires each of the last
-    # two BLOCK dims to divide (8, 128) or equal the full dim — a
-    # middle singleton + full trailing dim satisfies it for any nb.
-    return cand[:, None, :], ctn[:, None, :]
+        jnp.concatenate([jnp.zeros((n_grp, 1), jnp.int32),
+                         jnp.full((n_grp, nb), -1, jnp.int32)], axis=-1))
+    # 3-D (rows, groups, cols): the Mosaic lowering requires each of the
+    # last two BLOCK dims to divide (8, 128) or equal the full dim — a
+    # middle 1-or-8 + full trailing dim satisfies it for any nb.
+    return cand, ctn
 
 
-def _precull(st, lob, hib, n_tiles):
+def _precull(st, lob, hib, n_tiles, per_row=False):
     """Exact per-lane AABB precull of the stream's NEXT-bounce rays.
 
     For every (8, 128) ray tile, slab-test each of its 1024 rays against
@@ -381,7 +394,8 @@ def _precull(st, lob, hib, n_tiles):
     """
     return _precull_rays((st[C_OX], st[C_OY], st[C_OZ]),
                          (st[C_DX], st[C_DY], st[C_DZ]),
-                         st[C_ALIVE], None, lob, hib, n_tiles)
+                         st[C_ALIVE], None, lob, hib, n_tiles,
+                         per_row=per_row)
 
 
 def _shadow_rays_xla(st, ids, res, blob, lsb, nl, *, k, seed, n_mats,
@@ -446,6 +460,25 @@ def _shadow_rays_xla(st, ids, res, blob, lsb, nl, *, k, seed, n_mats,
             need.astype(jnp.float32))
 
 
+def _winner_t(st, res):
+    """Re-derive the winner hit distance from the intersect-kernel
+    residuals in XLA — exactly the sweep's quadratic on the same f32
+    winner (the _shadow_rays_xla reconstruction).  BIG where the lane is
+    dead or missed; the prim-sharded merge argmins this across shards."""
+    ox, oy, oz = st[C_OX], st[C_OY], st[C_OZ]
+    dx, dy, dz = st[C_DX], st[C_DY], st[C_DZ]
+    hcx, hcy, hcz, hr, hmid = res[0], res[1], res[2], res[3], res[4]
+    hit = (st[C_ALIVE] > 0.5) & (hmid >= 0.0)
+    ocx, ocy, ocz = hcx - ox, hcy - oy, hcz - oz
+    b = dx * ocx + dy * ocy + dz * ocz
+    cterm = ocx * ocx + ocy * ocy + ocz * ocz - hr * hr
+    disc = b * b - cterm
+    pos = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(jnp.where(pos, disc, 1.0), 1e-12))
+    t = jnp.where(b - sq > TMIN, b - sq, b + sq)
+    return jnp.where(hit, t, jnp.float32(BIG))
+
+
 def _isect_kernel(meta_ref, prim_ref, cand_ref, ctn_ref, st_ref, res_ref, *,
                   block, tcull):
     """Split-bounce phase 1: nearest-hit candidate sweep -> winner record.
@@ -480,10 +513,69 @@ def _isect_kernel(meta_ref, prim_ref, cand_ref, ctn_ref, st_ref, res_ref, *,
         res_ref[7] = zeros
 
 
+def _isect_kernel_mxu(meta_ref, prim_ref, cmat_ref, bctr_ref, cand_ref,
+                      ctn_ref, st_ref, res_ref, *, block, tcull):
+    """r5 MXU variant of ``_isect_kernel``: per-row candidate lists swept
+    with the matmul quadratic form (megakernel_bvh.build_cmat docstring).
+    Residual contract is identical; winner values come from the one-hot
+    extraction matmul against the same global prim table."""
+    in_region = pl.program_id(0) < meta_ref[3]
+    alive = st_ref[C_ALIVE] > 0.5
+    zeros = jnp.zeros_like(st_ref[C_ALIVE])
+    run = in_region & jnp.any(alive)
+
+    @pl.when(jnp.logical_not(run))
+    def _():
+        for c in range(8):
+            res_ref[c] = zeros
+        res_ref[4] = zeros - 1.0
+
+    @pl.when(run)
+    def _():
+        n_blocks = prim_ref.shape[0]
+        out = _cand_sweep_nearest_rows(
+            prim_ref, cmat_ref, bctr_ref, cand_ref, ctn_ref, st_ref[C_OX],
+            st_ref[C_OY], st_ref[C_OZ], st_ref[C_DX], st_ref[C_DY],
+            st_ref[C_DZ], alive, block, n_blocks, with_ids=True,
+            tcull=tcull)
+        t = out[0]
+        for c, v in enumerate(out[1:]):   # hcx hcy hcz hr hmid hblk hslot
+            res_ref[c] = v
+        res_ref[4] = jnp.where(t < jnp.float32(BIG), res_ref[4], -1.0)
+        res_ref[7] = zeros
+
+
+def _anyhit_kernel(meta_ref, prim_ref, scand_ref, sctn_ref, sray_ref,
+                   blk_ref, *, block):
+    """Occlusion-only kernel: sweep the shadow candidate lists for rays
+    given as an 8-channel tensor [pox poy poz ldx ldy ldz tmax need].
+
+    The prim-sharded wavefront (parallel/wavefront_prim.py) needs each
+    prim shard's LOCAL blocked verdict as a standalone tensor so a pmax
+    over the prim axis can merge them before shading — the fused
+    shade-kernel sweep cannot emit a per-shard partial."""
+    in_region = pl.program_id(0) < meta_ref[3]
+    need = sray_ref[7] > 0.5
+    run = in_region & jnp.any(need)
+
+    @pl.when(jnp.logical_not(run))
+    def _():
+        blk_ref[0] = jnp.zeros_like(sray_ref[0])
+
+    @pl.when(run)
+    def _():
+        blocked = _cand_sweep_anyhit(
+            prim_ref, scand_ref, sctn_ref, sray_ref[0], sray_ref[1],
+            sray_ref[2], sray_ref[3], sray_ref[4], sray_ref[5], need,
+            sray_ref[6], block, prim_ref.shape[0])
+        blk_ref[0] = blocked.astype(jnp.float32)
+
+
 def _shade_kernel(meta_ref, blob_ref, lsb_ref, prim_ref, scand_ref,
                   sctn_ref, st_ref, ids_ref, res_ref, out_ref, *, k, block,
                   n_mats, mtypes, n_light_slots, rr_depth, use_nee, use_mis,
-                  sky_mode):
+                  sky_mode, cmat_ref=None, bctr_ref=None, mxu=False,
+                  blocked_in_res=False):
     """Split-bounce phase 2: shading with a rebuilt intersector.
 
     No traversal anywhere: the nearest hit is re-derived from the winner
@@ -531,6 +623,16 @@ def _shade_kernel(meta_ref, blob_ref, lsb_ref, prim_ref, scand_ref,
             res_ref[4])
 
         def occluded_fn(pox, poy, poz, ldx, ldy, ldz, tmax, need):
+            if blocked_in_res:
+                # Prim-sharded mode: the cross-shard pmax-merged blocked
+                # mask rides res channel 7 (parallel/wavefront_prim.py);
+                # no in-kernel sweep at all.
+                return res_ref[7] > 0.5
+            if mxu:
+                return _cand_sweep_anyhit_rows(
+                    prim_ref, cmat_ref, bctr_ref, scand_ref, sctn_ref,
+                    pox, poy, poz, ldx, ldy, ldz, need, tmax, block,
+                    prim_ref.shape[0])
             return _cand_sweep_anyhit(prim_ref, scand_ref, sctn_ref, pox,
                                       poy, poz, ldx, ldy, ldz, need, tmax,
                                       block, prim_ref.shape[0])
@@ -553,6 +655,17 @@ def _shade_kernel(meta_ref, blob_ref, lsb_ref, prim_ref, scand_ref,
         out_ref[C_INIMG] = st_ref[C_INIMG]
         out_ref[C_MISS] = (aux[2].astype(jnp.float32) if want_miss
                            else jnp.zeros_like(st_ref[C_MISS]))
+
+
+def _shade_kernel_mxu(meta_ref, blob_ref, lsb_ref, prim_ref, cmat_ref,
+                      bctr_ref, scand_ref, sctn_ref, st_ref, ids_ref,
+                      res_ref, out_ref, **stat):
+    """Positional-arg adapter: the mxu shade kernel takes the Cmat/bctr
+    operands between prims and the (per-row) shadow candidate lists."""
+    return _shade_kernel(meta_ref, blob_ref, lsb_ref, prim_ref, scand_ref,
+                         sctn_ref, st_ref, ids_ref, res_ref, out_ref,
+                         cmat_ref=cmat_ref, bctr_ref=bctr_ref, mxu=True,
+                         **stat)
 
 
 # ---------------------------------------------------------------------------
@@ -627,8 +740,63 @@ def _add_env_radiance(st, env):
     return st.at[C_MISS].set(zero)
 
 
+def _float0_like(x):
+    """Zero cotangent for an integer-dtype primal (custom_vjp contract)."""
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def _sort_channels_vjp(key, stf, idf):
+    """Variadic-sort the stream channels by ``key`` — differentiable.
+
+    ``lax.sort`` has no transpose rule, which forced the grad path onto
+    argsort + ``jnp.take`` (whose 4-byte permutation gather runs at
+    ~2 GB/s — tools/profile_sort.py; VERDICT r4 next #2).  This wraps the
+    fast variadic sort in a ``jax.custom_vjp``: the forward carries an
+    iota operand through the SAME ``lax.sort`` call (so the saved
+    permutation is exactly the one applied to the data, even with
+    ``is_stable=False`` ties), and the backward un-permutes the incoming
+    cotangents with a SECOND variadic sort keyed on that permutation —
+    sorting by a permutation's values applies its inverse.  The key is a
+    piecewise-constant (integer) function of the state, so its true
+    derivative is zero a.e. — identical semantics to the argsort+take
+    version, at the variadic sort's measured 2.1x speed, in BOTH
+    directions (the take transpose was a scatter at the same ~2 GB/s).
+    """
+    n = stf.shape[0]
+    out = jax.lax.sort(
+        [key] + [stf[c] for c in range(n)] + [idf[0], idf[1]],
+        num_keys=1, is_stable=False)
+    return jnp.stack(out[1:1 + n]), jnp.stack(out[1 + n:])
+
+
+def _sort_channels_fwd(key, stf, idf):
+    n = stf.shape[0]
+    iota = jax.lax.iota(jnp.int32, key.shape[0])
+    out = jax.lax.sort(
+        [key] + [stf[c] for c in range(n)] + [idf[0], idf[1], iota],
+        num_keys=1, is_stable=False)
+    stf_s = jnp.stack(out[1:1 + n])
+    idf_s = jnp.stack(out[1 + n:3 + n])
+    return (stf_s, idf_s), (out[3 + n], key.shape, idf.shape)
+
+
+def _sort_channels_bwd(res, ct):
+    perm, key_shape, idf_shape = res
+    ct_stf, _ct_idf = ct
+    n = ct_stf.shape[0]
+    out = jax.lax.sort([perm] + [ct_stf[c] for c in range(n)],
+                       num_keys=1, is_stable=False)
+    return (np.zeros(key_shape, dtype=jax.dtypes.float0),
+            jnp.stack(out[1:]),
+            np.zeros(idf_shape, dtype=jax.dtypes.float0))
+
+
+_sort_channels_vjp.defvjp(_sort_channels_fwd, _sort_channels_bwd)
+
+
 def _sort_rays(st, ids, lo, ext, qbits=Q_BITS, dir_major=False,
-               dbits=D_BITS, rowsort=False, variadic=True):
+               dbits=D_BITS, rowsort=False, variadic=True, diff=False):
     """Coherence-sort the stream; returns (st, ids, n_alive_tiles).
 
     ``n_alive_tiles`` is the compacted alive-prefix length in (8, 128)
@@ -672,7 +840,9 @@ def _sort_rays(st, ids, lo, ext, qbits=Q_BITS, dir_major=False,
     idf = ids.reshape(2, r)
     n_alive = jnp.sum((key < dead).astype(jnp.int32))
     n_alive_tiles = (n_alive + TILE - 1) // TILE
-    if variadic:
+    if variadic and diff:
+        stf, idf = _sort_channels_vjp(jax.lax.stop_gradient(key), stf, idf)
+    elif variadic:
         out = jax.lax.sort(
             [key] + [stf[c] for c in range(N_CH)] + [idf[0], idf[1]],
             num_keys=1, is_stable=False)
@@ -751,7 +921,7 @@ def _scatter_image(st, ids, width, height):
                      "mtypes", "n_light_slots", "max_bounces", "rr_depth",
                      "use_nee", "use_mis", "sky_mode", "dof", "sort_every",
                      "qbits", "dir_major", "dbits", "rowsort", "compact",
-                     "precull", "tcull", "split", "sort_min_rays",
+                     "precull", "tcull", "split", "mxu", "sort_min_rays",
                      "interpret"))
 def _launch_wavefront(blob, meta, lsb, nodef, nodei, prims, env, *, width,
                       height, chunk_spp, block, n_mats, mtypes,
@@ -759,7 +929,8 @@ def _launch_wavefront(blob, meta, lsb, nodef, nodei, prims, env, *, width,
                       max_bounces, rr_depth, use_nee, use_mis, sky_mode,
                       dof=False, sort_every=1, qbits=Q_BITS, dir_major=False,
                       dbits=D_BITS, rowsort=False, compact=True,
-                      precull=True, tcull=True, split=True, sort_min_rays=0,
+                      precull=True, tcull=True, split=True, mxu=False,
+                      sort_min_rays=0,
                       interpret=False):
     n_nodes = nodef.shape[0] // 8   # 8 stacked octant tables
     n_blocks = prims.shape[0]
@@ -770,6 +941,9 @@ def _launch_wavefront(blob, meta, lsb, nodef, nodei, prims, env, *, width,
     lo, ext = _scene_sort_bounds(nodef)
     if precull or split:
         lob, hib = _leaf_block_bounds(prims)
+    if mxu and split:
+        cmat, bctr = build_cmat(prims)
+    n_grp = TILE_ROWS if (mxu and split) else 1
 
     def _redirect(i, m, *r):
         # Alive-prefix compaction: steps past the boundary all target the
@@ -780,6 +954,7 @@ def _launch_wavefront(blob, meta, lsb, nodef, nodei, prims, env, *, width,
         return (jnp.where(i < m[3], i, n_tiles), 0, 0)
 
     nalive = jnp.int32(n_tiles)
+    first_sort = True
     for k in range(max_bounces):
         if sort_every and k and (k - 1) % sort_every == 0:
             # Re-sorting pays off only while enough rays are alive: the
@@ -795,26 +970,79 @@ def _launch_wavefront(blob, meta, lsb, nodef, nodei, prims, env, *, width,
             def no_sort(ops):
                 return ops[0], ops[1], nalive
 
+            def prefix_sort(t_pre):
+                # r5 tiered prefix sort: after the first full sort the
+                # stream is [live | dead | pad]; once the alive boundary
+                # fits in a static prefix, sort ONLY that prefix (the
+                # suffix is all-dead and already in place — its radiance
+                # still scatters at the end).  lax.sort's compare-
+                # exchange network is O(n log^2 n); the r4 engine paid
+                # full-stream cost per sort while the alive population
+                # collapsed (profile: 4080 -> 2305 -> 1165 -> 696 tiles).
+                rows = t_pre * TILE_ROWS
+
+                def f(ops):
+                    sp, ip, na = _sort_rays(
+                        ops[0][:, :rows], ops[1][:, :rows], lo, ext,
+                        qbits, dir_major, dbits, rowsort)
+                    return (ops[0].at[:, :rows].set(sp),
+                            ops[1].at[:, :rows].set(ip), na)
+
+                return f
+
+            if compact and not rowsort and not first_sort:
+                t_half = max(1, (n_tiles + 1) // 2)
+                t_quarter = max(1, (n_tiles + 1) // 4)
+
+                def tiered(ops):
+                    return jax.lax.cond(
+                        nalive <= t_quarter, prefix_sort(t_quarter),
+                        lambda o: jax.lax.cond(
+                            nalive <= t_half, prefix_sort(t_half),
+                            do_sort, o),
+                        ops)
+
+                sort_fn = tiered
+            else:
+                sort_fn = do_sort
             st, ids, na = jax.lax.cond(
-                nalive * TILE > sort_min_rays, do_sort, no_sort, (st, ids))
+                nalive * TILE > sort_min_rays, sort_fn, no_sort, (st, ids))
+            first_sort = False
             if compact:
                 nalive = na
         meta4 = jnp.concatenate([meta[:3], nalive.reshape(1)])
         if split:
             # --- split bounce: intersect kernel -> XLA shadow construct
             # + shadow precull -> walk-free shade kernel ----------------
-            cand, ctn = _precull(st, lob, hib, n_tiles)
+            cand, ctn = _precull(st, lob, hib, n_tiles, per_row=mxu)
+            cand_specs = [
+                pl.BlockSpec((1, n_grp, n_blocks + 1), _redirect2,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n_grp, n_blocks), _redirect2,
+                             memory_space=pltpu.SMEM),
+            ]
+            if mxu:
+                isect_k = functools.partial(_isect_kernel_mxu, block=block,
+                                            tcull=tcull)
+                extra = (cmat, bctr)
+                extra_specs = [
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # cmat
+                    pl.BlockSpec(memory_space=pltpu.SMEM),   # bctr
+                ]
+            else:
+                isect_k = functools.partial(_isect_kernel, block=block,
+                                            tcull=tcull)
+                extra = ()
+                extra_specs = []
             res = pl.pallas_call(
-                functools.partial(_isect_kernel, block=block, tcull=tcull),
+                isect_k,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=1,
                     grid=(n_tiles,),
                     in_specs=[
                         pl.BlockSpec(memory_space=pltpu.VMEM),   # prims
-                        pl.BlockSpec((1, 1, n_blocks + 1), _redirect2,
-                                     memory_space=pltpu.SMEM),
-                        pl.BlockSpec((1, 1, n_blocks), _redirect2,
-                                     memory_space=pltpu.SMEM),
+                        *extra_specs,
+                        *cand_specs,
                         pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
                                      _redirect, memory_space=pltpu.VMEM),
                     ],
@@ -825,32 +1053,33 @@ def _launch_wavefront(blob, meta, lsb, nodef, nodei, prims, env, *, width,
                 out_shape=jax.ShapeDtypeStruct((8, n_rows, TILE_LANES),
                                                jnp.float32),
                 interpret=interpret,
-            )(meta4, prims, cand, ctn, st)
+            )(meta4, prims, *extra, cand, ctn, st)
             if use_nee and n_light_slots:
                 so3, sd3, stmax, sneed = _shadow_rays_xla(
                     st, ids, res, blob, lsb, meta[2], k=k, seed=meta[1],
                     n_mats=n_mats, mtypes=mtypes,
                     n_light_slots=n_light_slots)
                 scand, sctn = _precull_rays(so3, sd3, sneed, stmax, lob,
-                                            hib, n_tiles)
+                                            hib, n_tiles, per_row=mxu)
                 sc_specs = [
-                    pl.BlockSpec((1, 1, n_blocks + 1), _redirect2,
+                    pl.BlockSpec((1, n_grp, n_blocks + 1), _redirect2,
                                  memory_space=pltpu.SMEM),
-                    pl.BlockSpec((1, 1, n_blocks), _redirect2,
+                    pl.BlockSpec((1, n_grp, n_blocks), _redirect2,
                                  memory_space=pltpu.SMEM),
                 ]
             else:
-                scand = jnp.zeros((1, 1, 1), jnp.int32)
-                sctn = jnp.zeros((1, 1, 1), jnp.float32)
+                scand = jnp.zeros((1, n_grp, 1), jnp.int32)
+                sctn = jnp.zeros((1, n_grp, 1), jnp.float32)
                 sc_specs = [
-                    pl.BlockSpec((1, 1, 1), lambda i, m, *r: (0, 0, 0),
+                    pl.BlockSpec((1, n_grp, 1), lambda i, m, *r: (0, 0, 0),
                                  memory_space=pltpu.SMEM),
-                    pl.BlockSpec((1, 1, 1), lambda i, m, *r: (0, 0, 0),
+                    pl.BlockSpec((1, n_grp, 1), lambda i, m, *r: (0, 0, 0),
                                  memory_space=pltpu.SMEM),
                 ]
+            shade_k = _shade_kernel_mxu if mxu else _shade_kernel
             st = pl.pallas_call(
                 functools.partial(
-                    _shade_kernel, k=k, block=block, n_mats=n_mats,
+                    shade_k, k=k, block=block, n_mats=n_mats,
                     mtypes=mtypes, n_light_slots=n_light_slots,
                     rr_depth=rr_depth, use_nee=use_nee, use_mis=use_mis,
                     sky_mode=sky_mode),
@@ -859,6 +1088,7 @@ def _launch_wavefront(blob, meta, lsb, nodef, nodei, prims, env, *, width,
                     grid=(n_tiles,),
                     in_specs=[
                         pl.BlockSpec(memory_space=pltpu.VMEM),   # prims
+                        *extra_specs,
                         *sc_specs,
                         pl.BlockSpec((N_CH, TILE_ROWS, TILE_LANES),
                                      _redirect, memory_space=pltpu.VMEM),
@@ -873,9 +1103,9 @@ def _launch_wavefront(blob, meta, lsb, nodef, nodei, prims, env, *, width,
                 ),
                 out_shape=jax.ShapeDtypeStruct((N_CH, n_rows, TILE_LANES),
                                                jnp.float32),
-                input_output_aliases={6: 0},
+                input_output_aliases={6 + len(extra): 0},
                 interpret=interpret,
-            )(meta4, blob, lsb, prims, scand, sctn, st, ids, res)
+            )(meta4, blob, lsb, prims, *extra, scand, sctn, st, ids, res)
             if sky_mode == physics.SKY_ENVMAP:
                 st = _add_env_radiance(st, env)
             continue
@@ -943,6 +1173,7 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
                      dbits: int = D_BITS, rowsort: bool = False,
                      compact: bool = True, precull: bool = True,
                      tcull: bool = True, split: bool = True,
+                     mxu: bool = False,
                      sort_min_rays: int = 1 << 17,
                      chunk_rays: int = 4 << 20, interpret=False):
     """Render ``spp`` samples sorted-wavefront style; (H,W,3) radiance sum.
@@ -979,6 +1210,7 @@ def render_wavefront(scene: SceneData, camera, width: int, height: int,
             dir_major=bool(dir_major), dbits=int(dbits),
             rowsort=bool(rowsort), compact=bool(compact),
             precull=bool(precull), tcull=bool(tcull), split=bool(split),
+            mxu=bool(mxu),
             sort_min_rays=int(sort_min_rays), interpret=interpret)
         img = part if img is None else img + part
         s += n

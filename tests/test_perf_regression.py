@@ -78,3 +78,23 @@ def test_config5_throughput():
          "config5_fwd_bwd_rays_per_s": now["fwd_bwd_rays_per_s"]})
     _check(now["fwd_rays_per_s"], "config5_fwd_rays_per_s")
     _check(now["fwd_bwd_rays_per_s"], "config5_fwd_bwd_rays_per_s")
+
+
+def test_headline_throughput_gate():
+    """The bench.py headline metrics vs their high-water marks.
+
+    r4 updated the headline HWM keys but never asserted them: the round's
+    own forward (2027M) sat 6.2% below its 2162M mark with every gate
+    green (VERDICT r4 weak #4).  This runs the real bench entry point (one
+    definition of the metric) and gates all three accountings."""
+    import subprocess
+    import sys as _sys
+    out = subprocess.run(
+        [_sys.executable, os.path.join(_ROOT, "bench.py")],
+        capture_output=True, text=True, timeout=1800, cwd=_ROOT)
+    assert out.returncode == 0, out.stderr[-2000:]
+    row = json.loads(out.stdout.strip().splitlines()[-1])
+    _check(row["value"], "headline_fwd_bwd_rays_per_s")
+    _check(row["forward_only_rays_s"], "headline_forward_rays_per_s")
+    _check(row["value_path_segments_only"],
+           "headline_path_segments_only_rays_per_s")

@@ -45,35 +45,62 @@ def test_wavefront_matches_soa(scene300):
 
 
 def test_sort_is_invisible(scene300):
-    """Sorting is a stream permutation the estimator cannot see."""
+    """Sorting is a stream permutation the estimator cannot see.
+
+    sort_min_rays=0 so the sorts actually RUN at this 64x64 size — the
+    engine default (1 << 17) skips every sort below 128 tiles, which made
+    this test compare two identical no-sort runs (r5 fix, same class of
+    vacuity as ADVICE r4's precull findings)."""
+    kw = dict(KW, sort_min_rays=0)
     a = np.asarray(wavefront.render_wavefront(
-        scene300, CAM, W, H, 0, 1, sort_every=1, interpret=True, **KW))
+        scene300, CAM, W, H, 0, 1, sort_every=1, interpret=True, **kw))
     b = np.asarray(wavefront.render_wavefront(
-        scene300, CAM, W, H, 0, 1, sort_every=0, interpret=True, **KW))
+        scene300, CAM, W, H, 0, 1, sort_every=0, interpret=True, **kw))
     np.testing.assert_array_equal(a, b)
     c = np.asarray(wavefront.render_wavefront(
-        scene300, CAM, W, H, 0, 1, sort_every=2, interpret=True, **KW))
+        scene300, CAM, W, H, 0, 1, sort_every=2, interpret=True, **kw))
     np.testing.assert_array_equal(a, c)
     # Row-granular permutation (512B-contiguous gathers) is a permutation
     # too — compaction boundary stays conservative (min member key).
     d = np.asarray(wavefront.render_wavefront(
-        scene300, CAM, W, H, 0, 1, rowsort=True, interpret=True, **KW))
+        scene300, CAM, W, H, 0, 1, rowsort=True, interpret=True, **kw))
     np.testing.assert_array_equal(a, d)
+
+
+def test_tiered_prefix_sort_invisible(scene300):
+    """r5 tiered prefix sorts (sort only the static prefix once the alive
+    boundary fits in it) must be invisible: the suffix is all-dead and
+    already in place.  rr_depth=1 collapses the population fast enough
+    that the 1/2 and 1/4 tiers actually engage at this size (8 bounces,
+    sorts never skipped), pinned against the never-tiered run via
+    compact=False (which forces full-stream sorts with the same keys)."""
+    kw = dict(KW, rr_depth=1, max_bounces=8, sort_min_rays=0)
+    a = np.asarray(wavefront.render_wavefront(
+        scene300, CAM, W, H, 0, 1, compact=True, interpret=True, **kw))
+    b = np.asarray(wavefront.render_wavefront(
+        scene300, CAM, W, H, 0, 1, compact=False, interpret=True, **kw))
+    np.testing.assert_array_equal(a, b)
 
 
 def test_precull_matches_walk(scene300):
     """The XLA precull + in-kernel candidate sweep must agree with the
     in-kernel tree walk: the precull's per-lane slab tests are exactly the
     tests the walk would run at each leaf, so the only legal differences
-    are t-ties resolved in a different sweep order (none in this scene)."""
+    are t-ties resolved in a different sweep order (none in this scene).
+
+    split=False throughout: the split pipeline ignores ``precull`` (its
+    intersect kernel always sweeps candidate lists), so only the fused
+    bounce kernel actually selects sweep-vs-walk (ADVICE r4 medium)."""
     a = np.asarray(wavefront.render_wavefront(
-        scene300, CAM, W, H, 0, 1, precull=True, interpret=True, **KW))
+        scene300, CAM, W, H, 0, 1, precull=True, split=False,
+        interpret=True, **KW))
     b = np.asarray(wavefront.render_wavefront(
-        scene300, CAM, W, H, 0, 1, precull=False, interpret=True, **KW))
+        scene300, CAM, W, H, 0, 1, precull=False, split=False,
+        interpret=True, **KW))
     np.testing.assert_array_equal(a, b)
     # The nearest-first early-exit (tcull) is a pure optimization.
     c = np.asarray(wavefront.render_wavefront(
-        scene300, CAM, W, H, 0, 1, precull=True, tcull=False,
+        scene300, CAM, W, H, 0, 1, precull=True, tcull=False, split=False,
         interpret=True, **KW))
     np.testing.assert_array_equal(a, c)
 
@@ -149,11 +176,14 @@ def test_wavefront_env_map_matches_soa(scene_env):
 
 
 def test_wavefront_env_sort_invisible(scene_env):
-    """The miss-flag channel must survive (be cleared before) the sort."""
+    """The miss-flag channel must survive (be cleared before) the sort.
+    sort_min_rays=0 so the sorts actually run at this size (r5 fix)."""
     a = np.asarray(wavefront.render_wavefront(
-        scene_env, CAM, W, H, 0, 1, sort_every=1, interpret=True, **KW))
+        scene_env, CAM, W, H, 0, 1, sort_every=1, sort_min_rays=0,
+        interpret=True, **KW))
     b = np.asarray(wavefront.render_wavefront(
-        scene_env, CAM, W, H, 0, 1, sort_every=0, interpret=True, **KW))
+        scene_env, CAM, W, H, 0, 1, sort_every=0, sort_min_rays=0,
+        interpret=True, **KW))
     np.testing.assert_array_equal(a, b)
 
 
@@ -183,3 +213,34 @@ def test_pallas_backend_routes_env_to_wavefront(scene_env):
     assert np.isfinite(img_p).all()
     close = np.abs(img_p - img_j) < 1e-3 + 0.05 * np.abs(img_j)
     assert close.mean() > 0.98
+
+
+def test_mxu_sweeps_match_vpu(scene300):
+    """r5 MXU-form sweeps (per-row candidate lists, matmul quadratic
+    terms, sqrt-free any-hit) vs the r4 per-tile VPU sweeps.
+
+    The matmul's accumulation order differs from the scalar FMA chain, so
+    bit-exactness is not the contract — agreement is pinned at knife-edge
+    tolerance (>=99.9% of pixels within 1e-3 relative), the same bar the
+    cross-engine oracle suites use.  Winner ordering semantics (first
+    candidate block, lowest slot on ties) are identical by construction.
+    """
+    a = np.asarray(wavefront.render_wavefront(
+        scene300, CAM, W, H, 0, 2, mxu=False, interpret=True, **KW))
+    b = np.asarray(wavefront.render_wavefront(
+        scene300, CAM, W, H, 0, 2, mxu=True, interpret=True, **KW))
+    assert np.isfinite(b).all()
+    close = np.abs(a - b) < 1e-4 + 1e-3 * np.abs(a)
+    assert close.mean() > 0.999, f"only {close.mean():.5f} close"
+
+
+def test_mxu_env_map(scene_env):
+    """MXU path with SKY_ENVMAP: miss-lane env radiance must survive the
+    split-kernel swap (the miss flag rides the same channel protocol)."""
+    a = np.asarray(wavefront.render_wavefront(
+        scene_env, CAM, W, H, 0, 1, mxu=False, interpret=True, **KW))
+    b = np.asarray(wavefront.render_wavefront(
+        scene_env, CAM, W, H, 0, 1, mxu=True, interpret=True, **KW))
+    assert np.isfinite(b).all() and b.sum() > 0.0
+    close = np.abs(a - b) < 1e-4 + 1e-3 * np.abs(a)
+    assert close.mean() > 0.999, f"only {close.mean():.5f} close"

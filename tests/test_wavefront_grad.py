@@ -114,12 +114,17 @@ def test_wavefront_grad_compaction_invisible(scene160):
 
 
 def test_wavefront_grad_precull_invisible(scene160):
-    """Candidate-sweep intersection == tree walk, through the backward."""
+    """Candidate-sweep intersection == tree walk, through the backward.
+
+    split=False: the split pipeline never consults ``precull``, so only
+    the fused _bounce_op exercises the walk fallback (ADVICE r4 low)."""
     params = G.get_params(scene160, ("albedo",))
     rp = wg.make_wavefront_render_fn(
-        scene160, CAM, W, H, spp=1, precull=True, interpret=True, **KW)
+        scene160, CAM, W, H, spp=1, precull=True, split=False,
+        interpret=True, **KW)
     rw = wg.make_wavefront_render_fn(
-        scene160, CAM, W, H, spp=1, precull=False, interpret=True, **KW)
+        scene160, CAM, W, H, spp=1, precull=False, split=False,
+        interpret=True, **KW)
     gp = jax.grad(lambda p: jnp.sum(rp(p, 0)))(params)
     gw = jax.grad(lambda p: jnp.sum(rw(p, 0)))(params)
     np.testing.assert_allclose(np.asarray(gp["albedo"]),
@@ -157,3 +162,37 @@ def test_wavefront_grad_sort_invisible(scene160):
         np.testing.assert_allclose(np.asarray(g1[key]),
                                    np.asarray(g0[key]),
                                    rtol=1e-4, atol=1e-6, err_msg=key)
+
+
+def test_sort_channels_vjp_matches_take():
+    """The custom-vjp variadic sort (r5) == argsort+take, values and grads.
+
+    Unique keys so both implementations apply the identical permutation
+    (with ties is_stable=False may legally order differently; the engine
+    cannot see it — RNG rides with the ray).  A directional FD check pins
+    the vjp's consistency with its own forward."""
+    from spt_tpu.kernels.wavefront import N_CH, _sort_channels_vjp
+    r = 512
+    rng = np.random.default_rng(7)
+    key = jnp.asarray(rng.permutation(r), jnp.int32)
+    stf0 = jnp.asarray(rng.standard_normal((N_CH, r)), jnp.float32)
+    idf = jnp.asarray(rng.integers(0, 1000, (2, r)), jnp.int32)
+    w = jnp.arange(r, dtype=jnp.float32)
+
+    def via_vjp(stf):
+        s, _ = _sort_channels_vjp(key, stf, idf)
+        return jnp.sum(jnp.sin(s) * w)
+
+    def via_take(stf):
+        s = jnp.take(stf, jnp.argsort(key), axis=1)
+        return jnp.sum(jnp.sin(s) * w)
+
+    v1, g1 = jax.value_and_grad(via_vjp)(stf0)
+    v2, g2 = jax.value_and_grad(via_take)(stf0)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-7)
+    s1, i1 = _sort_channels_vjp(key, stf0, idf)
+    assert np.array_equal(np.asarray(i1),
+                          np.asarray(jnp.take(idf, jnp.argsort(key),
+                                              axis=1)))

@@ -153,7 +153,8 @@ def main():
         return wf._precull_rays(so3, sd3, sneed, stmax, lob, hib, n_tiles)
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def shade(meta4, blob_a, lsb_a, prims_a, scand, st, ids, res, *, k):
+    def shade(meta4, blob_a, lsb_a, prims_a, scand, sctn, st, ids, res, *,
+              k):
         return pl.pallas_call(
             functools.partial(
                 wf._shade_kernel, k=k, block=args.block,
@@ -166,6 +167,8 @@ def main():
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, 1, n_blocks + 1), _redirect2,
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 1, n_blocks), _redirect2,
                                  memory_space=pltpu.SMEM),
                     pl.BlockSpec((wf.N_CH, wf.TILE_ROWS, wf.TILE_LANES),
                                  _redirect, memory_space=pltpu.VMEM),
@@ -180,9 +183,9 @@ def main():
             ),
             out_shape=jax.ShapeDtypeStruct(
                 (wf.N_CH, n_rows, wf.TILE_LANES), jnp.float32),
-            input_output_aliases={5: 0},
+            input_output_aliases={6: 0},
             interpret=interp,
-        )(meta4, blob_a, lsb_a, prims_a, scand, st, ids, res)
+        )(meta4, blob_a, lsb_a, prims_a, scand, sctn, st, ids, res)
 
     nalive = jnp.int32(n_tiles)
     totals = {"sort": 0.0, "precull": 0.0, "isect": 0.0, "shadow": 0.0,
@@ -202,14 +205,14 @@ def main():
         meta4 = jnp.concatenate([meta[:3], jnp.int32(nalive).reshape(1)])
         t_i, res = timed(isect, meta4, prims, cand, ctn, st)
         totals["isect"] += t_i
-        t_g, (scand, _sctn) = timed(functools.partial(shadow_glue, k=k),
-                                    st, ids, res, meta)
+        t_g, (scand, sctn) = timed(functools.partial(shadow_glue, k=k),
+                                   st, ids, res, meta)
         totals["shadow"] += t_g
         sc = np.asarray(scand[:, 0, 0])
         row.update(isect_s=round(t_i, 4), shadow_s=round(t_g, 4),
                    mean_scand=round(float(sc[:max(na, 1)].mean()), 1))
         t_k, st = timed(functools.partial(shade, k=k), meta4, blob, lsb,
-                        prims, scand, st, ids, res)
+                        prims, scand, sctn, st, ids, res)
         row["shade_s"] = round(t_k, 4)
         totals["shade"] += t_k
         print(json.dumps(row), flush=True)
