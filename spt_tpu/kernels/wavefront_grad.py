@@ -415,11 +415,17 @@ def _grads_from_bwd(meta, blob, res, dgeo, dscal, *, n_mats, n_light_slots,
     blk = jnp.where(ok, jnp.clip(res[5].reshape(rr).astype(jnp.int32),
                                  0, max(n_blocks - 1, 0)), n_blocks)
     slot = jnp.clip(res[6].reshape(rr).astype(jnp.int32), 0, block - 1)
-    d_prims = jnp.zeros((n_blocks + 1, 5, block), jnp.float32)
-    for a in range(4):
-        d_prims = d_prims.at[blk, a, slot].add(
-            jnp.where(ok, dgeo[a].reshape(rr), 0.0))
-    return d_blob, d_prims[:n_blocks]
+    # One scatter-add with a flat (blk, attr, slot) index: the r4 version
+    # issued 4 separate 4.2M-row scatters per bounce (one per geometry
+    # attr) — a top grad-pipeline cost once the sorts went variadic.
+    # Flattening attr into the index quarters the scatter passes.
+    d_prims = jnp.zeros(((n_blocks + 1) * 5 * block,), jnp.float32)
+    base = (blk * 5) * block + slot
+    upd = jnp.stack([jnp.where(ok, dgeo[a].reshape(rr), 0.0)
+                     for a in range(4)], axis=1)           # (rr, 4)
+    idx = base[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :] * block
+    d_prims = d_prims.at[idx.reshape(-1)].add(upd.reshape(-1))
+    return d_blob, d_prims.reshape(n_blocks + 1, 5, block)[:n_blocks]
 
 
 @functools.lru_cache(maxsize=128)
@@ -633,8 +639,8 @@ def _run_wavefront_diff(blob, meta, nodef, nodei, prims, env, *, width,
                         height, chunk_spp, block, n_mats, mtypes,
                         n_light_slots, max_bounces, rr_depth, use_nee,
                         use_mis, sky_mode, dof, sort_every, qbits, dir_major,
-                        dbits, compact, precull, tcull, split, interpret,
-                        bpi_key):
+                        dbits, compact, precull, tcull, split,
+                        sort_min_rays, interpret, bpi_key):
     """One differentiable wavefront chunk -> (H, W, 3) radiance sum."""
     from .wavefront import (_isect_kernel, _precull_rays, _shadow_rays_xla,
                             TILE_LANES)
@@ -657,6 +663,7 @@ def _run_wavefront_diff(blob, meta, nodef, nodei, prims, env, *, width,
         return (jnp.where(i < m[3], i, n_tiles), 0, 0)
 
     nalive = jnp.int32(n_tiles)
+    first_sort = True
     for k in range(max_bounces):
         if sort_every and k and (k - 1) % sort_every == 0:
             # diff=True routes through the custom-vjp variadic sort
@@ -664,9 +671,54 @@ def _run_wavefront_diff(blob, meta, nodef, nodei, prims, env, *, width,
             # iota forward, a second variadic sort un-permuting the
             # cotangents backward — replacing argsort+take, whose ~2 GB/s
             # permutation gather (and its scatter transpose) dominated
-            # the r4 grad pipeline (VERDICT r4 next #2).
-            st, ids, na = _sort_rays(st, ids, lo, ext, qbits, dir_major,
-                                     dbits, variadic=True, diff=True)
+            # the r4 grad pipeline (VERDICT r4 next #2).  r5 also ports
+            # the non-diff launcher's tiered prefix sorts and the
+            # below-min skip: after the first full sort the stream is
+            # [live | dead | pad], so once the compaction boundary fits
+            # a static prefix only that prefix sorts (both directions —
+            # the cotangent un-sort covers the same slice), and sorts
+            # stop entirely once alive < sort_min_rays (the kept
+            # boundary stays conservative: rays die monotonically).
+            def do_sort(ops):
+                return _sort_rays(ops[0], ops[1], lo, ext, qbits,
+                                  dir_major, dbits, variadic=True,
+                                  diff=True)
+
+            def no_sort(ops):
+                return ops[0], ops[1], nalive
+
+            def prefix_sort(t_pre):
+                rows = t_pre * TILE_ROWS
+
+                def f(ops):
+                    sp, ip, na = _sort_rays(
+                        ops[0][:, :rows], ops[1][:, :rows], lo, ext,
+                        qbits, dir_major, dbits, variadic=True, diff=True)
+                    return (jax.lax.dynamic_update_slice(
+                                ops[0], sp, (0, 0, 0)),
+                            jax.lax.dynamic_update_slice(
+                                ops[1], ip, (0, 0, 0)), na)
+
+                return f
+
+            if compact and not first_sort:
+                t_half = max(1, (n_tiles + 1) // 2)
+                t_quarter = max(1, (n_tiles + 1) // 4)
+
+                def tiered(ops):
+                    return jax.lax.cond(
+                        nalive <= t_quarter, prefix_sort(t_quarter),
+                        lambda o: jax.lax.cond(
+                            nalive <= t_half, prefix_sort(t_half),
+                            do_sort, o),
+                        ops)
+
+                sort_fn = tiered
+            else:
+                sort_fn = do_sort
+            st, ids, na = jax.lax.cond(
+                nalive * TILE > sort_min_rays, sort_fn, no_sort, (st, ids))
+            first_sort = False
             if compact:
                 nalive = na
         meta4 = jnp.concatenate([meta[:3], nalive.reshape(1)])
@@ -741,6 +793,7 @@ def make_wavefront_render_fn(scene: SceneData, camera, width: int,
                              block: int = BLOCK, compact: bool = True,
                              precull: bool = True, tcull: bool = True,
                              split: bool = True,
+                             sort_min_rays: int = 1 << 17,
                              chunk_rays: int = 2 << 20,
                              interpret: bool = False):
     """render(params, start_sample) -> (H, W, 3) mean radiance,
@@ -772,7 +825,8 @@ def make_wavefront_render_fn(scene: SceneData, camera, width: int,
               sort_every=int(sort_every), qbits=int(qbits),
               dir_major=bool(dir_major), dbits=int(dbits),
               compact=bool(compact), precull=bool(precull),
-              tcull=bool(tcull), split=bool(split), interpret=interpret,
+              tcull=bool(tcull), split=bool(split),
+              sort_min_rays=int(sort_min_rays), interpret=interpret,
               bpi_key=bpi_key)
     inv_spp = 1.0 / spp
     meta0 = jnp.asarray([0, seed, int(meta3[2])], jnp.int32)

@@ -17,7 +17,12 @@ from spt_tpu.engine.integrator_soa import render_megasample_soa
 from spt_tpu.kernels import wavefront_grad as wg
 
 CAM = Camera.look_at((0, 0, -10), (0, 0, 60), fov_degrees=65)
-KW = dict(max_bounces=3, rr_depth=5, use_nee=True, use_mis=True, seed=4)
+# SOA_KW is the estimator config shared with the oracle; KW adds
+# sort_min_rays=0 for the wavefront fns — at this tiny size the r5 engine
+# default (1 << 17) would skip every sort, silently un-exercising the
+# custom-vjp sort path.
+SOA_KW = dict(max_bounces=3, rr_depth=5, use_nee=True, use_mis=True, seed=4)
+KW = dict(SOA_KW, sort_min_rays=0)
 W, H, SPP = 24, 16, 2
 
 
@@ -36,7 +41,8 @@ def wf_render(scene160):
 def _soa_loss(sd, mask=1.0):
     def loss(p):
         sc = G.apply_params(sd, p)
-        img = render_megasample_soa(sc, CAM, W, H, jnp.arange(SPP), **KW)
+        img = render_megasample_soa(sc, CAM, W, H, jnp.arange(SPP),
+                                    **SOA_KW)
         return jnp.sum(img * mask) / SPP
     return loss
 
@@ -45,7 +51,7 @@ def test_wavefront_forward_matches_soa(scene160, wf_render):
     params = G.get_params(scene160, ("albedo",))
     img_w = np.asarray(wf_render(params, 0))
     img_s = np.asarray(render_megasample_soa(
-        scene160, CAM, W, H, jnp.arange(SPP), **KW)) / SPP
+        scene160, CAM, W, H, jnp.arange(SPP), **SOA_KW)) / SPP
     assert np.isfinite(img_w).all()
     close = np.abs(img_w - img_s) < 1e-4 + 1e-3 * np.abs(img_s)
     assert close.mean() > 0.99
@@ -67,7 +73,7 @@ def test_wavefront_grads_match_soa(scene160, wf_render):
                                      "centers", "radii"))
     img_w = np.asarray(wf_render(params, 0))
     img_s = np.asarray(render_megasample_soa(
-        scene160, CAM, W, H, jnp.arange(SPP), **KW)) / SPP
+        scene160, CAM, W, H, jnp.arange(SPP), **SOA_KW)) / SPP
     agree = (np.abs(img_w - img_s) < 1e-4 + 1e-3 * np.abs(img_s)).all(-1)
     assert agree.mean() >= 0.99, f"only {agree.mean():.3f} forward-agree"
     mask = jnp.asarray(agree[:, :, None].astype(np.float32))

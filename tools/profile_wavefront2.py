@@ -71,6 +71,10 @@ def main():
     sort_j = jax.jit(lambda s, i: wf._sort_rays(s, i, lo, ext, wf.Q_BITS,
                                                 True, 0))
     precull_j = jax.jit(lambda s: wf._precull(s, lob, hib, n_tiles))
+    # Per-ROW aggregation of the same precull (r5): how much tighter are
+    # 128-lane-row candidate lists than the per-tile unions?
+    precull_row_j = jax.jit(
+        lambda s: wf._precull(s, lob, hib, n_tiles, per_row=True))
 
     def _redirect(i, m, *r):
         return (0, jnp.where(i < m[3], i, n_tiles), 0)
@@ -153,6 +157,15 @@ def main():
         return wf._precull_rays(so3, sd3, sneed, stmax, lob, hib, n_tiles)
 
     @functools.partial(jax.jit, static_argnames=("k",))
+    def shadow_glue_row(st, ids, res, meta, *, k):
+        so3, sd3, stmax, sneed = wf._shadow_rays_xla(
+            st, ids, res, blob, lsb, meta[2], k=k, seed=meta[1],
+            n_mats=static["n_mats"], mtypes=static["mtypes"],
+            n_light_slots=static["n_light_slots"])
+        return wf._precull_rays(so3, sd3, sneed, stmax, lob, hib, n_tiles,
+                                per_row=True)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
     def shade(meta4, blob_a, lsb_a, prims_a, scand, sctn, st, ids, res, *,
               k):
         return pl.pallas_call(
@@ -200,8 +213,11 @@ def main():
         totals["precull"] += t_p
         nc = np.asarray(cand[:, 0, 0])
         na = int(nalive)
+        cand_r, _ = precull_row_j(st)
+        ncr = np.asarray(cand_r[:, :, 0]).astype(np.float64)
         row.update(precull_s=round(t_p, 4), alive_tiles=na,
-                   mean_cand=round(float(nc[:max(na, 1)].mean()), 1))
+                   mean_cand=round(float(nc[:max(na, 1)].mean()), 1),
+                   mean_cand_row=round(float(ncr[:max(na, 1)].mean()), 1))
         meta4 = jnp.concatenate([meta[:3], jnp.int32(nalive).reshape(1)])
         t_i, res = timed(isect, meta4, prims, cand, ctn, st)
         totals["isect"] += t_i
@@ -209,8 +225,11 @@ def main():
                                    st, ids, res, meta)
         totals["shadow"] += t_g
         sc = np.asarray(scand[:, 0, 0])
+        scand_r, _ = shadow_glue_row(st, ids, res, meta, k=k)
+        scr = np.asarray(scand_r[:, :, 0]).astype(np.float64)
         row.update(isect_s=round(t_i, 4), shadow_s=round(t_g, 4),
-                   mean_scand=round(float(sc[:max(na, 1)].mean()), 1))
+                   mean_scand=round(float(sc[:max(na, 1)].mean()), 1),
+                   mean_scand_row=round(float(scr[:max(na, 1)].mean()), 1))
         t_k, st = timed(functools.partial(shade, k=k), meta4, blob, lsb,
                         prims, scand, sctn, st, ids, res)
         row["shade_s"] = round(t_k, 4)
