@@ -418,13 +418,16 @@ def _grads_from_bwd(meta, blob, res, dgeo, dscal, *, n_mats, n_light_slots,
     # One scatter-add with a flat (blk, attr, slot) index: the r4 version
     # issued 4 separate 4.2M-row scatters per bounce (one per geometry
     # attr) — a top grad-pipeline cost once the sorts went variadic.
-    # Flattening attr into the index quarters the scatter passes.
+    # Flattening attr into the index quarters the scatter passes.  All
+    # intermediates stay 1-D: an (rr, 4) stack would pad its trailing
+    # dim to 128 lanes (32x, ~1 GB per bounce — the CLAUDE.md (N,3)
+    # hazard; it OOM'd the 1080p fwd+bwd).
     d_prims = jnp.zeros(((n_blocks + 1) * 5 * block,), jnp.float32)
     base = (blk * 5) * block + slot
-    upd = jnp.stack([jnp.where(ok, dgeo[a].reshape(rr), 0.0)
-                     for a in range(4)], axis=1)           # (rr, 4)
-    idx = base[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :] * block
-    d_prims = d_prims.at[idx.reshape(-1)].add(upd.reshape(-1))
+    upd = jnp.concatenate([jnp.where(ok, dgeo[a].reshape(rr), 0.0)
+                           for a in range(4)])             # (4*rr,)
+    idx = jnp.concatenate([base + a * block for a in range(4)])
+    d_prims = d_prims.at[idx].add(upd)
     return d_blob, d_prims.reshape(n_blocks + 1, 5, block)[:n_blocks]
 
 
