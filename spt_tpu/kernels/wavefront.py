@@ -104,12 +104,20 @@ D_BITS = 0   # fine direction bits per axis (dir-major only).  The idea:
              # packet's cone and let the frustum filter cull.  Measured
              # reality (config 5): dbits=2 is SLOWER (12.5 vs 10.6 s —
              # direction-tight packets scatter origins, and origin
-             # coherence is worth more) AND on real hardware the
-             # dbits-reordered stream renders ~4% of pixels wrong
-             # (tools/check_wavefront_tpu 0.957 vs 0.994 frac_close;
-             # interpret mode is bit-exact, so this is a hardware-only
-             # order-sensitivity — unresolved).  Default 0; the knob
-             # stays for experiments ONLY.
+             # coherence is worth more).  The r3-era hardware-only
+             # divergence (~4% of pixels wrong with dbits=2 while
+             # interpret was bit-exact) was ROOT-CAUSED in r5 by
+             # bisection (tools/bisect_dbits.py, DBITS_BISECT.json):
+             # it does NOT reproduce on the r4+ split-bounce engine —
+             # dbits=0 vs dbits=2 is bit-identical on the chip both at
+             # the original 300-prim repro conditions and at 2k prims
+             # (split and fused variants).  The divergence was a
+             # property of the retired r3 fused-walk bounce kernel,
+             # whose skip-store control paths flushed stale out-blocks
+             # when the permutation changed which grid steps stored
+             # (CLAUDE.md's stale-out-block class); the r4 rewrite
+             # zero-fills flag channels on every control path.  Default
+             # 0 purely on the speed measurement.
 
 
 def _live_bits(qbits: int, dbits: int) -> int:
